@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship ER pipeline at sf0.001.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2).
+``oracle_sql()`` — DuckDB twins (omitted for non-SQL-expressible ops).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module; nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,38 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: blocked ER over the derived pages table at sf0.001 —
+    normalize → block → pairs → featurize → score → constraints →
+    transitive clustering.  Returns the (doc_id, cluster_id) assignments."""
+    from ent_res_feedback_ray.pipelines import er
+
+    return er.clusters(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ent_res_feedback_ray.pipelines import er
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- entity resolution (SURVEY.md §2.2/§2.5/§2.7/§2.10) ---
+        "er_pages": er.load_pages,
+        "er_normalize": lambda sf: er.pages_normalized(sf).select_columns(
+            ["doc_id", "url", "norm_text"]),
+        "er_blocking": er.blocked_compact,
+        "er_candidate_pairs": er.candidate_pairs_compact,
+        "er_features": er.pair_features,
+        "er_scores": er.scored_pairs_compact,
+        "er_clusters": er.clusters,
+        "er_uncertain_topk": er.uncertain_topk,
+        "er_quality": er.er_quality,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ent_res_feedback_ray.pipelines import er
+
+    return dict(er.oracle_queries())

@@ -1,0 +1,176 @@
+"""Stable hashing and sketching kernels (MinHash, SimHash, fingerprints).
+
+The reference has no sketches (nearest: canonical pair cache keys,
+/root/reference/s2and/featurizer.py:615-625); MinHash/LSH blocking is the
+scale path this engine adds (see SURVEY.md §2.9/§2.10).  Everything here is
+deterministic and seed-stable: never Python ``hash()`` (salted per process),
+never dependent on partitioning.
+
+Design notes for 100 TB scale:
+- ``fnv1a64`` is a vectorized columnar hash: one numpy pass per character
+  position over the whole batch (strings in a batch are short shingles /
+  keys, so ~20 passes per batch, no per-row Python).
+- MinHash permutations are multiply-add in uint64 wraparound space
+  (multiply-shift universal family) — 128 perms over a doc's shingle hashes
+  is a single (n_shingles × 128) broadcast min-reduce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(strings: "list[str] | np.ndarray") -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over UTF-8 bytes; returns uint64 array.
+
+    Columnar: iterates over byte positions (max string length), not rows.
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    # pad into a byte matrix [n, maxlen]
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(encoded):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            hj = h[active]
+            hj ^= buf[active, j].astype(np.uint64)
+            hj *= _FNV_PRIME
+            h[active] = hj
+    return h
+
+
+def fnv1a64_scalar(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def blake2b64(s: str) -> int:
+    """Cryptographic-strength stable 64-bit hash (collision-critical ids)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def md5_hex(s: str) -> str:
+    """Content fingerprint; identical to DuckDB ``md5(s)`` for oracle parity."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-add parameters; ``a`` forced odd."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of one document's shingle hashes."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # [n_shingles, num_perm]
+        vals = shingle_hashes[:, None] * a[None, :] + b[None, :]
+    return vals.min(axis=0)
+
+
+def band_keys(signature: np.ndarray, num_bands: int) -> list[int]:
+    """LSH band keys: hash each band of the signature to a stable int64.
+
+    Two docs collide in band i iff their signature rows in that band are
+    identical; collision probability for Jaccard s is 1−(1−s^r)^b.
+    """
+    rows = len(signature) // num_bands
+    keys = []
+    for i in range(num_bands):
+        band = signature[i * rows : (i + 1) * rows]
+        digest = hashlib.blake2b(band.tobytes() + i.to_bytes(4, "big"), digest_size=8).digest()
+        keys.append(int.from_bytes(digest, "big") >> 1)  # fits int64
+    return keys
+
+
+def estimate_minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash over (hashed) tokens with optional weights."""
+    if len(token_hashes) == 0:
+        return 0
+    if weights is None:
+        weights = np.ones(len(token_hashes), dtype=np.float64)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+    acc = ((bits * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def hamming64_batch(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance (popcount via byte LUT)."""
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    x = (np.asarray(xs, dtype=np.uint64) ^ np.asarray(ys, dtype=np.uint64)).view(np.uint8).reshape(-1, 8)
+    return lut[x].sum(axis=1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Rolling fingerprint (winnowing-style document fingerprint)
+# ---------------------------------------------------------------------------
+
+def rolling_fingerprints(s: str, k: int = 16, window: int = 8) -> list[int]:
+    """Winnowing fingerprints: min hash of each sliding window over k-gram
+    hashes (Schleimer et al., SIGMOD'03 public algorithm)."""
+    if len(s) < k:
+        return [fnv1a64_scalar(s)] if s else []
+    grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+    hs = fnv1a64(grams).astype(np.uint64)
+    if len(hs) <= window:
+        return [int(hs.min())]
+    # sliding-window minimum via stride trick
+    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+    mins = sw.min(axis=1)
+    return sorted(set(int(m) for m in mins))
+
+
+__all__ = [
+    "fnv1a64",
+    "fnv1a64_scalar",
+    "blake2b64",
+    "md5_hex",
+    "minhash_params",
+    "minhash_signature",
+    "band_keys",
+    "estimate_minhash_jaccard",
+    "simhash64",
+    "hamming64",
+    "hamming64_batch",
+    "rolling_fingerprints",
+]

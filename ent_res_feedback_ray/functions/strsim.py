@@ -1,0 +1,220 @@
+"""String / set similarity kernels for pairwise featurization.
+
+Reference analogs (/root/reference/s2and/text.py):
+- ``TEXT_FUNCTIONS`` (text.py:257-263): levenshtein (length-normalized,
+  text.py:368-369), prefix_dist (text.py:246-254), jaro_winkler.
+- ``jaccard`` (text.py:604-629) set Jaccard; ``counter_jaccard``
+  (text.py:576-601) multiset Jaccard with a denominator clamp.
+- ``diff`` (text.py:656-676) absolute difference with NaN default.
+
+All re-implemented from scratch.  Scalar versions are the spec (unit-tested
+against golden values and against DuckDB's ``levenshtein`` /
+``jaro_winkler_similarity`` for oracle parity); ``*_batch`` versions are the
+hot-path kernels used inside ``map_batches`` over pair rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NAN = float("nan")
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein
+# ---------------------------------------------------------------------------
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (insert/delete/substitute, all cost 1).
+
+    Matches DuckDB ``levenshtein`` (oracle parity is unit-tested).
+    """
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) < len(b):  # iterate over the longer string, keep the row short
+        a, b = b, a
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    n = len(bv)
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    t = np.empty(n + 1, dtype=np.int64)
+    for i, ca in enumerate(a):
+        cav = np.uint32(ord(ca))
+        # t[j] = best of deletion (prev[j]+1) and substitution (prev[j-1]+cost)
+        t[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (bv != cav), out=t[1:])
+        # insertion chain cur[j] = min_k<=j (t[k] + (j-k)) via a prefix scan
+        prev = np.minimum.accumulate(t - idx) + idx
+    return int(prev[-1])
+
+
+def levenshtein_sim(a: str | None, b: str | None) -> float:
+    """1 − dist/max(len) — length-normalized similarity
+    (reference normalization: /root/reference/s2and/text.py:368-369)."""
+    if not a or not b:
+        return NAN
+    m = max(len(a), len(b))
+    return 1.0 - levenshtein(a, b) / m
+
+
+def levenshtein_batch(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Edit distance per pair; int64 array."""
+    out = np.empty(len(xs), dtype=np.int64)
+    for i in range(len(xs)):
+        out[i] = levenshtein(xs[i], ys[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jaro / Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: compare matched characters in order
+    bj = [b[j] for j in range(lb) if b_flags[j]]
+    k = t = 0
+    for i in range(la):
+        if a_flags[i]:
+            if a[i] != bj[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str | None, b: str | None, prefix_weight: float = 0.1,
+                 boost_threshold: float = 0.7, max_prefix: int = 4) -> float:
+    """Jaro-Winkler similarity; matches DuckDB ``jaro_winkler_similarity``
+    defaults (prefix scaling 0.1, boost threshold 0.7, prefix cap 4)."""
+    if a is None or b is None:
+        return NAN
+    j = jaro(a, b)
+    if j <= boost_threshold:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def jaro_winkler_batch(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    out = np.empty(len(xs), dtype=np.float64)
+    for i in range(len(xs)):
+        out[i] = jaro_winkler(xs[i], ys[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Prefix distance, jaccards, numeric diff
+# ---------------------------------------------------------------------------
+
+def prefix_dist(a: str | None, b: str | None) -> float:
+    """1 − longest-common-prefix / min(len) (reference
+    /root/reference/s2and/text.py:246-254)."""
+    if not a or not b:
+        return NAN
+    n = min(len(a), len(b))
+    lcp = 0
+    for i in range(n):
+        if a[i] != b[i]:
+            break
+        lcp += 1
+    return 1.0 - lcp / n
+
+
+def jaccard(a: set | frozenset | None, b: set | frozenset | None) -> float:
+    """Set Jaccard with NaN for empty/missing sides
+    (reference /root/reference/s2and/text.py:604-629)."""
+    if not a or not b:
+        return NAN
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else NAN
+
+
+def counter_jaccard(a: dict, b: dict, denominator_max: float = float("inf")) -> float:
+    """Multiset Jaccard with a denominator clamp (reference
+    /root/reference/s2and/text.py:576-601; clamp 5000 used for coauthor /
+    reference-author bags, featurizer.py:421,450)."""
+    if not a or not b:
+        return NAN
+    inter = 0
+    for k, v in a.items():
+        w = b.get(k)
+        if w is not None:
+            inter += v if v < w else w
+    if inter == 0:
+        return 0.0
+    union = sum(a.values()) + sum(b.values()) - inter
+    return inter / min(union, denominator_max)
+
+
+def num_diff(a: float | None, b: float | None, clamp: float = float("inf")) -> float:
+    """|a − b| clamped, NaN when either side missing (reference
+    /root/reference/s2and/text.py:656-676; clamp 50 for year/position)."""
+    if a is None or b is None or (isinstance(a, float) and np.isnan(a)) or (
+        isinstance(b, float) and np.isnan(b)
+    ):
+        return NAN
+    return min(abs(a - b), clamp)
+
+
+def token_jaccard_batch(xs: list[str], ys: list[str]) -> np.ndarray:
+    """Token-set Jaccard per pair of (already normalized) strings."""
+    out = np.empty(len(xs), dtype=np.float64)
+    for i in range(len(xs)):
+        out[i] = jaccard(set(xs[i].split()), set(ys[i].split()))
+    return out
+
+
+def cosine_sim(u: np.ndarray, v: np.ndarray) -> float:
+    """Embedding cosine (reference /root/reference/s2and/text.py:374-394)."""
+    nu = np.linalg.norm(u)
+    nv = np.linalg.norm(v)
+    if nu == 0 or nv == 0:
+        return NAN
+    return float(np.dot(u, v) / (nu * nv))
+
+
+__all__ = [
+    "levenshtein",
+    "levenshtein_sim",
+    "levenshtein_batch",
+    "jaro",
+    "jaro_winkler",
+    "jaro_winkler_batch",
+    "prefix_dist",
+    "jaccard",
+    "counter_jaccard",
+    "num_diff",
+    "token_jaccard_batch",
+    "cosine_sim",
+]

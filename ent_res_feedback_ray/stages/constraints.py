@@ -1,0 +1,93 @@
+"""Deterministic constraint chain — per-pair distance overrides.
+
+Reference analog: ``get_constraint`` (/root/reference/s2and/data.py:776-891)
+with its strict precedence order (cluster seeds > hard identity rules >
+language rule > soft compatibility), and the require/disallow sentinels
+(require → distance 0, disallow → distance 1e4,
+/root/reference/s2and/consts.py:41-43).  The constraint column overrides the
+model score downstream (reference: /root/reference/s2and/model.py:277-298).
+
+Web-graft precedence (documented; the F1 gate is won or lost here):
+1. seed require  → constraint 0.0
+2. seed disallow → constraint DISALLOW
+3. exact same normalized text and same language → require (trivial dup)
+4. language mismatch → DISALLOW (reliable-language rule analog)
+otherwise NULL (model decides).
+
+Seed pairs are a small side input — broadcast via ``ray.put`` once and read
+in ``__init__`` of the actor pool (never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+DISALLOW = 1.0e4
+REQUIRE = 0.0
+
+
+class ConstraintStage:
+    """Actor-pool stage holding the broadcast seed-pair dict."""
+
+    def __init__(self, seeds_ref=None, lang_rule: bool = True,
+                 exact_text_rule: bool = True):
+        # seeds: dict[(id1, id2)] -> "require" | "disallow", canonical id1<id2
+        self.seeds = ray.get(seeds_ref) if seeds_ref is not None else {}
+        self.lang_rule = lang_rule
+        self.exact_text_rule = exact_text_rule
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id1 = batch.column("id1").to_pylist()
+        id2 = batch.column("id2").to_pylist()
+        lang1 = batch.column("lang1").to_pylist()
+        lang2 = batch.column("lang2").to_pylist()
+        norm1 = batch.column("norm_text1").to_pylist()
+        norm2 = batch.column("norm_text2").to_pylist()
+        out = np.full(n, np.nan)
+        for i in range(n):
+            seed = self.seeds.get((id1[i], id2[i]))
+            if seed == "require":
+                out[i] = REQUIRE
+            elif seed == "disallow":
+                out[i] = DISALLOW
+            elif self.exact_text_rule and norm1[i] and norm1[i] == norm2[i] \
+                    and lang1[i] == lang2[i]:
+                out[i] = REQUIRE
+            elif self.lang_rule and lang1[i] != lang2[i]:
+                out[i] = DISALLOW
+        return batch.append_column(
+            "constraint", pa.array(out, pa.float64(), from_pandas=True)
+        )
+
+
+def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
+                     lang_rule: bool = True, exact_text_rule: bool = True,
+                     concurrency: int = 4) -> ray.data.Dataset:
+    seeds_ref = ray.put(seeds or {})
+    return ds.map_batches(
+        ConstraintStage,
+        fn_constructor_kwargs={
+            "seeds_ref": seeds_ref,
+            "lang_rule": lang_rule,
+            "exact_text_rule": exact_text_rule,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def apply_constraints_to_distance(batch: pa.Table, score_col: str = "score",
+                                  out_col: str = "distance") -> pa.Table:
+    """distance = 1 − score, overridden by the constraint column when present
+    (reference override point: /root/reference/s2and/model.py:277-298)."""
+    score = batch.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    dist = 1.0 - score
+    if "constraint" in batch.column_names:
+        cons = batch.column("constraint").to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(cons)
+        dist = np.where(mask, cons, dist)
+    return batch.append_column(out_col, pa.array(dist, pa.float64()))

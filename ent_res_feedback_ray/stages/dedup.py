@@ -1,0 +1,333 @@
+"""Deduplication suite over the documents table: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The reference's only dedup is canonical pair ordering + cache-key symmetry
+(/root/reference/s2and/featurizer.py:615-625); these operators are the
+training-data-pipeline additions (task brief) built from the same engine
+primitives: map_batches sketching → band groupby → candidate pairs →
+verify → connected components.
+
+Scale shape (per operator, in docstrings): the only all-pairs step is the
+explicitly-marked brute-force verifier used as the small-scale oracle; the
+scale paths are hash-partition (exact) and LSH-band (near-dup) shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import fnv1a64, hamming64_batch, simhash64
+from ..functions.strsim import jaccard
+from ..functions.textnorm import normalize_text_array, word_ngrams
+from ..sources.tables import read_table
+from ..stages.blocking import band_explode_stage, minhash_stage
+from ..stages.normalize import normalize_stage
+from ..stages.pairs import pairs_from_blocks
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition + per-group min id
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, canonical_id): canonical = min doc_id among identical
+    normalized texts.  Hash-partition on the md5 fingerprint → per-group min;
+    the shuffle moves (fingerprint, doc_id) pairs only."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    keyed = ds.map_batches(_fp, batch_format="pyarrow")
+
+    def _canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "canonical_id": np.int64(g["doc_id"].min()),
+        })
+
+    return keyed.groupby("fingerprint").map_groups(_canon, batch_format="pandas")
+
+
+EXACT_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id FROM fp
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (brute force — the small-scale oracle)
+# ---------------------------------------------------------------------------
+
+def _norm_docs(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_stage(ds)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """All-pairs word-3-gram Jaccard ≥ threshold → (id1, id2, jaccard).
+
+    BRUTE FORCE by design: this is the exactness oracle the LSH path is
+    verified against.  O(n²) — small inputs only; the scale path is
+    ``minhash_lsh_pairs`` below, which returns the same pair set whp."""
+    ds = _norm_docs(sf_dir)
+
+    def _const(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(all_key="all")
+
+    pairs = pairs_from_blocks(
+        ds.map_batches(_const, batch_format="pandas"),
+        block_col="all_key", id_col="doc_id", carry_cols=["norm_text"],
+        max_pairs_per_block=50_000_000,
+    )
+
+    def _jac(b: pa.Table) -> pa.Table:
+        a = b.column("norm_text1").to_pylist()
+        c = b.column("norm_text2").to_pylist()
+        cache: dict[str, frozenset] = {}
+
+        def sh(s: str) -> frozenset:
+            r = cache.get(s)
+            if r is None:
+                r = frozenset(word_ngrams(s.split(), 3)) if s else frozenset()
+                cache[s] = r
+            return r
+
+        vals = np.array([jaccard(sh(x), sh(y)) for x, y in zip(a, c)])
+        keep = np.nonzero(np.nan_to_num(vals, nan=0.0) >= threshold)[0]
+        sub = b.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "id1": sub.column("id1"),
+            "id2": sub.column("id2"),
+            "jaccard": pa.array(vals[keep], pa.float64()),
+        })
+
+    return pairs.map_batches(_jac, batch_format="pyarrow")
+
+
+NGRAM_JACCARD_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN n = '' THEN []::VARCHAR[]
+         WHEN len(string_split(n, ' ')) < 3 THEN [n]
+         ELSE list_distinct(list_transform(range(1, len(string_split(n, ' ')) - 1),
+              i -> string_split(n, ' ')[i] || ' ' || string_split(n, ' ')[i+1]
+                   || ' ' || string_split(n, ' ')[i+2])) END AS s
+  FROM norm
+),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+    CASE WHEN len(a.s) = 0 OR len(b.s) = 0 THEN NULL ELSE
+      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.5
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
+                      num_bands: int = 32) -> ray.data.Dataset:
+    """MinHash/LSH candidate generation + exact-Jaccard verification.
+
+    shingle→minhash (actor pool) → band explode (flat rows) →
+    groupby(band_key) → candidate pairs → exact verify → dedup pairs.
+    With 128 perms / 32 bands × 4 rows the miss probability at s=0.5 is
+    1−(1−0.5⁴)^32 ≈ 0.87 per band family... cumulative ≈ 1 − (1−s⁴)³² which
+    at s≥0.5 keeps recall ≈ 0.87+; at the planted-dup similarity (≈0.95)
+    recall ≈ 1 − 3e-9.  Verification removes all false positives, so output
+    ⊆ brute-force output, equal whp on high-similarity corpora.
+    """
+    ds = _norm_docs(sf_dir)
+    mh = minhash_stage(ds.select_columns(["doc_id", "norm_text"]),
+                       num_perm=num_perm, seed=42)
+    bands = band_explode_stage(mh, num_bands=num_bands,
+                               keep_cols=["doc_id", "norm_text"])
+    cand = pairs_from_blocks(
+        bands, block_col="band_key", id_col="doc_id", carry_cols=["norm_text"],
+        max_pairs_per_block=100_000,
+    )
+
+    # dedup candidates across bands, then verify exactly
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pair_key=df["id1"].astype(np.int64) * np.int64(2**32)
+                         + df["id2"].astype(np.int64))
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    uniq = (
+        cand.map_batches(_key, batch_format="pandas")
+        .groupby("pair_key")
+        .map_groups(_first, batch_format="pandas")
+    )
+
+    def _verify(b: pa.Table) -> pa.Table:
+        a = b.column("norm_text1").to_pylist()
+        c = b.column("norm_text2").to_pylist()
+        cache: dict[str, frozenset] = {}
+
+        def sh(s: str) -> frozenset:
+            r = cache.get(s)
+            if r is None:
+                r = frozenset(word_ngrams(s.split(), 3)) if s else frozenset()
+                cache[s] = r
+            return r
+
+        vals = np.array([jaccard(sh(x), sh(y)) for x, y in zip(a, c)])
+        keep = np.nonzero(np.nan_to_num(vals, nan=0.0) >= threshold)[0]
+        sub = b.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "id1": sub.column("id1"),
+            "id2": sub.column("id2"),
+            "jaccard": pa.array(vals[keep], pa.float64()),
+        })
+
+    return uniq.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
+    """64-bit SimHash over token counts; candidates = docs sharing any of 4
+    16-bit simhash bands (exact-match blocks for hamming ≤ 8 in expectation);
+    verified by full Hamming distance.  Band trick: pigeonhole — at distance
+    ≤ 8 over 4 bands at least one band is ~intact often enough for the
+    near-dup range; the verify step keeps only true ≤ max_hamming pairs."""
+    ds = _norm_docs(sf_dir)
+
+    def _sim(t: pa.Table) -> pa.Table:
+        norms = t.column("norm_text").to_pylist()
+        out = np.empty(len(norms), dtype=np.uint64)
+        for i, s in enumerate(norms):
+            toks = s.split()
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, counts = np.unique(np.array(toks), return_counts=True)
+            hs = fnv1a64(list(uniq))
+            out[i] = simhash64(hs, counts.astype(np.float64))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array(out.astype(np.int64), pa.int64()),
+        })
+
+    sims = ds.map_batches(_sim, batch_format="pyarrow")
+
+    def _bands(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        parts = []
+        for band in range(4):
+            key = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "simhash": df["simhash"],
+                "band_key": key + band * 70000,
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    bands = sims.map_batches(_bands, batch_format="pandas")
+    cand = pairs_from_blocks(
+        bands, block_col="band_key", id_col="doc_id", carry_cols=["simhash"],
+        max_pairs_per_block=100_000,
+    )
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "hamming": []})
+        ham = hamming64_batch(
+            df["simhash1"].to_numpy(np.int64).astype(np.uint64),
+            df["simhash2"].to_numpy(np.int64).astype(np.uint64),
+        )
+        out = df.loc[ham <= max_hamming, ["id1", "id2"]].copy()
+        out["hamming"] = ham[ham <= max_hamming]
+        return out.drop_duplicates(subset=["id1", "id2"])
+
+    verified = cand.map_batches(_verify, batch_format="pandas")
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        verified.map_batches(
+            lambda df: df.assign(pair_key=df["id1"].astype(np.int64) * np.int64(2**32)
+                                 + df["id2"].astype(np.int64)),
+            batch_format="pandas")
+        .groupby("pair_key")
+        .map_groups(_first, batch_format="pandas")
+        .drop_columns(["pair_key"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98) -> ray.data.Dataset:
+    """Embedding near-dup: all-pairs cosine ≥ threshold via blocked numpy
+    matmul — each batch multiplies against the (broadcast) full normalized
+    matrix, so compute is vectorized and the quadratic term never
+    materializes more than (batch × n) floats at once.
+
+    Scale path: replace the broadcast matrix with IVF buckets (see
+    stages/similarity.py) — same verify semantics."""
+    import ray as _ray
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mat_df = emb.to_pandas()
+    ids = mat_df["vec_id"].to_numpy(np.int64)
+    M = np.stack(mat_df["embedding"].to_numpy())
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = _ray.put((ids, M.astype(np.float64)))
+
+    class CosineBlock:
+        def __init__(self):
+            self.ids, self.M = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            Q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            qids = df["vec_id"].to_numpy(np.int64)
+            sims = Q @ self.M.T
+            rows, cols = np.nonzero(sims >= threshold)
+            id1 = qids[rows]
+            id2 = self.ids[cols]
+            keep = id1 < id2  # canonical order + drop self-pairs
+            return pd.DataFrame({
+                "id1": id1[keep], "id2": id2[keep],
+                "cosine": np.round(sims[rows, cols][keep], 6),
+            })
+
+    return emb.map_batches(CosineBlock, batch_format="pandas", concurrency=4,
+                           batch_size=1024)
+
+
+EMBEDDING_DUP_SQL = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+""".strip()

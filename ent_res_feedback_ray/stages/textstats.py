@@ -1,0 +1,158 @@
+"""Text-analysis stages over the documents table: token counting, quality
+scoring, heuristic language ID, content fingerprinting.
+
+Reference analogs: ``detect_language`` (fastText+cld2 ensemble,
+/root/reference/s2and/text.py:266-309 — re-expressed as a deterministic
+stopword heuristic since no model ships in this env), n-gram counting
+(text.py:397-475), and the normalize chain.  All stateless vectorized
+``map_batches``; fingerprints use md5 for DuckDB oracle parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.textnorm import normalize_text_array, token_count_array
+from ..sources.tables import read_table
+
+# tiny deterministic stopword table per language (public-knowledge lists)
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset({"the", "and", "of", "to", "a", "in", "is"}),
+    "fr": frozenset({"le", "la", "les", "de", "et", "un", "une"}),
+    "de": frozenset({"der", "die", "das", "und", "ein", "ist"}),
+    "es": frozenset({"el", "la", "los", "de", "y", "un", "es"}),
+}
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_chars_norm) — vectorized arrow kernels."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(token_count_array(norm), pa.int64()),
+            "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+        })
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS n_tokens,
+  len(n) AS n_chars_norm
+FROM norm
+""".strip()
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Quality heuristics: mean token length, stopword ratio ('the'/'a'),
+    uniq-token ratio.  Exactly-rounded ops → bit-exact SQL twin."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _quality(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        n = len(norm)
+        mean_tok = np.full(n, np.nan)
+        stop_ratio = np.full(n, np.nan)
+        uniq_ratio = np.full(n, np.nan)
+        for i, s in enumerate(norm):
+            toks = s.split()
+            if not toks:
+                continue
+            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
+            stop_ratio[i] = sum(1 for w in toks if w in ("the", "a")) / len(toks)
+            uniq_ratio[i] = len(set(toks)) / len(toks)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mean_token_len": pa.array(mean_tok, pa.float64(), from_pandas=True),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64(), from_pandas=True),
+            "uniq_token_ratio": pa.array(uniq_ratio, pa.float64(), from_pandas=True),
+        })
+
+    return ds.map_batches(_quality, batch_format="pyarrow")
+
+
+QUALITY_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(n, ' ') AS ts, n FROM norm
+)
+SELECT doc_id,
+  CASE WHEN n = '' THEN NULL ELSE
+    CAST(len(n) - (len(ts) - 1) AS DOUBLE) / len(ts) END AS mean_token_len,
+  CASE WHEN n = '' THEN NULL ELSE
+    CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ts) END AS stopword_ratio,
+  CASE WHEN n = '' THEN NULL ELSE
+    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS uniq_token_ratio
+FROM toks
+""".strip()
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language ID: argmax marker-word hits, 'unk' when no marker
+    (deterministic tie-break by language code).  Emits agreement with the
+    declared lang column — ensemble-agreement validation analog of the
+    reference's fastText+cld2 vote (/root/reference/s2and/text.py:266-309)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _lid(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        langs = t.column("lang").to_pylist()
+        pred, agree = [], []
+        for s, declared in zip(norm, langs):
+            toks = set(s.split())
+            best_lang, best_hits = "unk", 0
+            for code in sorted(_LANG_MARKERS):
+                hits = len(toks & _LANG_MARKERS[code])
+                if hits > best_hits:
+                    best_lang, best_hits = code, hits
+            pred.append(best_lang)
+            agree.append(best_lang == declared)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred_lang": pa.array(pred, pa.string()),
+            "agrees_with_declared": pa.array(agree, pa.bool_()),
+        })
+
+    return ds.map_batches(_lid, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprint: md5 of normalized text (DuckDB-parity) — the
+    exact-dedup key."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.string()),
+        })
+
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+""".strip()

@@ -1,0 +1,175 @@
+"""Connected components: driver union-find (small edge sets) and distributed
+min-label propagation to fixpoint (the scale path).
+
+Reference analog: transitive clustering is per-block HAC in the reference
+(/root/reference/s2and/model.py:456-531); the global transitive-closure
+clustering over thresholded score edges is the north_star addition
+(SURVEY.md §7.2 step 6b): iterative hash-partitioned label propagation —
+repeat  label(v) ← min(label(v), min_{u∈N(v)} label(u))  until fixpoint.
+
+Distributed implementation is join-free: each round is two groupby shuffles
+over a tagged union (a cogroup), so it needs nothing beyond Ray Data's
+groupby/map_groups and scales with the shuffle, not with driver RAM.
+Convergence is detected by the (strictly decreasing, integer) global label
+sum — one cheap aggregate per round, no change-count join.
+
+SQL oracle twin: a recursive CTE computing min reachable id per node
+(see pipelines/er.py) — min-label propagation converges to exactly the
+per-component minimum id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+# --------------------------------------------------------------------------
+# Driver-side union-find (used when the candidate edge set is provably small)
+# --------------------------------------------------------------------------
+
+def unionfind_numpy(src: np.ndarray, dst: np.ndarray,
+                    nodes: np.ndarray | None = None) -> dict[int, int]:
+    """Union-find with path halving; returns {node: min_id_of_component}."""
+    if nodes is None:
+        nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(0, np.int64)
+    index = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(src, dst):
+        ra, rb = find(index[int(a)]), find(index[int(b)])
+        if ra != rb:
+            # union by smaller node id → component label is the min id
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = {}
+    for v, i in index.items():
+        out[v] = int(nodes[find(i)])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Distributed min-label propagation
+# --------------------------------------------------------------------------
+
+def _propagate_round(labels: ray.data.Dataset, sym_edges: ray.data.Dataset) -> ray.data.Dataset:
+    """One round: label(v) ← min(label(v), min over neighbors' labels)."""
+    lab_tagged = labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "val": df["label"], "is_label": True}
+        ),
+        batch_format="pandas",
+    )
+    edge_tagged = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "val": df["dst"], "is_label": False}
+        ),
+        batch_format="pandas",
+    )
+
+    def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
+        mine = g.loc[g["is_label"], "val"]
+        if len(mine) == 0:  # node with edges but no label row (shouldn't happen)
+            return pd.DataFrame({"node": [], "cand": []})
+        label = int(mine.min())
+        neighbors = g.loc[~g["is_label"], "val"].to_numpy(dtype=np.int64)
+        node = g["node"].iloc[0]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([neighbors, [node]]),
+                "cand": np.full(len(neighbors) + 1, label, dtype=np.int64),
+            }
+        )
+
+    messages = (
+        lab_tagged.union(edge_tagged)
+        .groupby("node")
+        .map_groups(emit_messages, batch_format="pandas")
+    )
+    new_labels = messages.groupby("node").min("cand")
+    return new_labels.map_batches(
+        lambda df: df.rename(columns={"min(cand)": "label"}), batch_format="pandas"
+    )
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Edges (src:int64, dst:int64) → (node:int64, label:int64 = min id of
+    component).  Labels materialize each round (that IS the round state /
+    checkpoint); everything else streams through two groupby shuffles."""
+    sym = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src": pd.concat([df["src"], df["dst"]], ignore_index=True),
+                "dst": pd.concat([df["dst"], df["src"]], ignore_index=True),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    if nodes is None:
+        node_ds = sym.groupby("src").count().map_batches(
+            lambda df: pd.DataFrame({"node": df["src"]}), batch_format="pandas"
+        )
+    else:
+        node_ds = nodes
+    labels = node_ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    prev_sum = labels.sum("label")
+    for rnd in range(max_rounds):
+        labels = _propagate_round(labels, sym).materialize()
+        cur_sum = labels.sum("label")
+        if checkpoint_dir is not None:
+            labels.write_parquet(f"{checkpoint_dir}/cc_round={rnd}")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    driver_threshold: int = 2_000_000,
+    max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Auto path: small edge sets collapse on the driver (provably bounded
+    pull), large ones run the distributed fixpoint."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        src_l, dst_l = [], []
+        for batch in edges.iter_batches(batch_format="pandas", batch_size=262_144):
+            src_l.append(batch["src"].to_numpy(dtype=np.int64))
+            dst_l.append(batch["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
+        dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
+        extra = None
+        if nodes is not None:
+            extra = nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
+            all_nodes = np.unique(np.concatenate([src, dst, extra]))
+        else:
+            all_nodes = None
+        comp = unionfind_numpy(src, dst, nodes=all_nodes)
+        df = pd.DataFrame(
+            {"node": list(comp.keys()), "label": list(comp.values())},
+            dtype=np.int64,
+        )
+        df = df.sort_values("node").reset_index(drop=True)
+        return ray.data.from_pandas(df)
+    return connected_components_distributed(edges, nodes=nodes, max_rounds=max_rounds)
