@@ -26,7 +26,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ent_res_feedback_ray.pipelines import er
+    from ent_res_feedback_ray.pipelines import er, relational
+    from ent_res_feedback_ray.stages import dedup, multimodal, similarity, textstats
 
     q: dict[str, Callable[[str], Any]] = {
         # --- entity resolution (SURVEY.md §2.2/§2.5/§2.7/§2.10) ---
@@ -40,11 +41,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        # --- relational operator surface (SURVEY.md §2.8/§2.9/§2.10/§2.11) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "top_orders": relational.top_orders,
+        "events_hourly": relational.events_hourly,
+        "user_sessions": relational.user_sessions,
+        "high_value_purchases": relational.high_value_purchases,
+        # --- text analysis (task brief: training-data pipeline ops) ---
+        "doc_token_counts": textstats.token_counts,
+        "doc_quality": textstats.quality_scores,
+        "doc_lang_id": textstats.lang_id,
+        "doc_fingerprints": textstats.fingerprints,
+        # --- dedup suite ---
+        "dedup_exact": dedup.exact_dedup_groups,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding": dedup.embedding_dup_pairs,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk_bruteforce,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        "embedding_centroids": similarity.embedding_centroids,
+        # --- multimodal plumbing ---
+        "pages_binary_metadata": multimodal.pages_binary_metadata,
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    from ent_res_feedback_ray.pipelines import er
+    from ent_res_feedback_ray.pipelines import er, relational
+    from ent_res_feedback_ray.stages import dedup, multimodal, similarity, textstats
 
-    return dict(er.oracle_queries())
+    out = dict(er.oracle_queries())
+    out.update({
+        "q1_pricing_summary": relational.Q1_SQL,
+        "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "user_sessions": relational.USER_SESSIONS_SQL,
+        "high_value_purchases": relational.HIGH_VALUE_SQL,
+        "doc_token_counts": textstats.TOKEN_COUNTS_SQL,
+        "doc_quality": textstats.QUALITY_SQL,
+        "doc_fingerprints": textstats.FINGERPRINTS_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        # dedup_minhash_lsh: verified-subset of the brute-force set; at the
+        # planted-dup similarity (≈0.95) the LSH miss probability is ~1e-9,
+        # so the exact brute-force SQL is a valid oracle.
+        "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
+        "dedup_embedding": dedup.EMBEDDING_DUP_SQL,
+        "ann_topk": similarity.ANN_TOPK_SQL,
+        "pages_binary_metadata": multimodal.PAGES_BINARY_META_SQL,
+        # rows-only (non-SQL-expressible): er_quality, doc_lang_id,
+        # dedup_simhash, ann_topk_lsh, embedding_centroids
+    })
+    return out

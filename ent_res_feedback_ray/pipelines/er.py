@@ -274,3 +274,125 @@ def oracle_queries() -> dict[str, str]:
                              "SELECT id1, id2, score, abs(score - 0.5) AS uncertainty "
                              "FROM scored ORDER BY abs(score - 0.5), id1, id2 LIMIT 20",
     }
+
+
+# ---------------------------------------------------------------------------
+# Generic ER over an arbitrary pages Dataset (flagship + feedback rounds)
+# ---------------------------------------------------------------------------
+
+
+def add_doc_ids(pages_ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
+    """Stable int64 doc id from the url (blake2b-64 >> 1) — deterministic,
+    partition-invariant, collision probability ~n²/2⁶⁴."""
+    from ..functions.hashing import blake2b64
+
+    def _ids(b: pa.Table) -> pa.Table:
+        urls = b.column(url_col).to_pylist()
+        ids = np.array([blake2b64(u) >> 1 for u in urls], dtype=np.int64)
+        return b.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    return pages_ds.map_batches(_ids, batch_format="pyarrow")
+
+
+def resolve_pages(
+    pages_ds: ray.data.Dataset,
+    model=None,
+    use_key_blocks: bool = True,
+    use_lsh: bool = True,
+    threshold: float = SCORE_THRESHOLD,
+    seeds: dict | None = None,
+    max_pairs_per_block: int = 100_000,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    scorer_concurrency=(1, 4),
+) -> dict:
+    """Full ER stage graph over a pages Dataset with ``url`` (and optionally
+    ``doc_id``) columns.  Returns dict of Datasets:
+    ``scored`` (pair rows + score + constraint), ``assignments``
+    (doc_id, url? via id_map, cluster_id), ``id_map`` (doc_id, url),
+    ``counters`` (per-block lineage: pairs_generated, pairs_scored,
+    edges_kept — north-rule counters).
+    """
+    from ..stages.blocking import minhash_stage, band_explode_stage
+    from ..stages.pairs import dedup_pairs
+    from ..stages.scoring import trained_scoring_stage
+
+    cols = set(pages_ds.schema().names)
+    if "doc_id" not in cols:
+        pages_ds = add_doc_ids(pages_ds)
+    norm = normalize_stage(pages_ds)
+    norm = norm.select_columns(["doc_id", "url", "norm_text", "lang"]).materialize()
+
+    id_map = norm.select_columns(["doc_id", "url"])
+
+    pair_sources = []
+    if use_key_blocks:
+        keyed = key_blocking_stage(norm).select_columns(
+            ["doc_id", "block_key", "norm_text", "lang"])
+        pair_sources.append(pairs_from_blocks(
+            keyed, block_col="block_key", id_col="doc_id",
+            carry_cols=["norm_text", "lang"],
+            max_pairs_per_block=max_pairs_per_block))
+    if use_lsh:
+        mh = minhash_stage(norm.select_columns(["doc_id", "norm_text", "lang"]),
+                           num_perm=num_perm, seed=42)
+        bands = band_explode_stage(mh, num_bands=num_bands,
+                                   keep_cols=["doc_id", "norm_text", "lang"])
+        lsh_pairs = pairs_from_blocks(
+            bands, block_col="band_key", id_col="doc_id",
+            carry_cols=["norm_text", "lang"],
+            max_pairs_per_block=max_pairs_per_block)
+        lsh_pairs = lsh_pairs.map_batches(
+            lambda df: df.assign(block_key="band_" + df["band_key"].astype(str))
+                        .drop(columns=["band_key"]),
+            batch_format="pandas")
+        pair_sources.append(lsh_pairs)
+
+    pairs = pair_sources[0]
+    for extra in pair_sources[1:]:
+        pairs = pairs.union(extra)
+    if len(pair_sources) > 1:
+        pairs = dedup_pairs(pairs)
+
+    feats = featurize_stage(pairs)
+    if model is None:
+        scored = linear_scoring_stage(feats)
+    else:
+        scored = trained_scoring_stage(feats, model,
+                                       concurrency=scorer_concurrency)
+    scored = constraint_stage(scored, seeds=seeds).materialize()
+
+    all_ids = norm.map_batches(
+        lambda df: pd.DataFrame({"node": df["doc_id"]}), batch_format="pandas")
+    assignments = transitive_clustering(scored, all_ids=all_ids,
+                                        threshold=threshold)
+
+    # north-rule lineage counters, per block
+    def _counter_rows(b: pa.Table) -> pd.DataFrame:
+        df = b.select(["block_key", "score", "constraint"]).to_pandas()
+        s = df["score"].to_numpy(dtype=np.float64)
+        cons = df["constraint"].to_numpy(dtype=np.float64)
+        keep = np.where(np.isnan(cons), s >= threshold, cons == 0.0)
+        g = df.assign(kept=keep).groupby("block_key", as_index=False).agg(
+            pairs_generated=("score", "size"),
+            pairs_scored=("score", "size"),
+            edges_kept=("kept", "sum"),
+        )
+        g["edges_kept"] = g["edges_kept"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    counter_partials = scored.map_batches(_counter_rows, batch_format="pyarrow")
+    counters = counter_partials.groupby("block_key").aggregate(
+        Sum("pairs_generated", alias_name="pairs_generated"),
+        Sum("pairs_scored", alias_name="pairs_scored"),
+        Sum("edges_kept", alias_name="edges_kept"),
+    )
+
+    return {
+        "scored": scored,
+        "assignments": assignments,
+        "id_map": id_map,
+        "counters": counters,
+    }

@@ -1,0 +1,153 @@
+"""Feedback / active-learning rounds: checkpointed score → cluster → select
+→ reveal → retrain loops.
+
+Reference analog: the ECC ``simulate`` loop (predict → compare with gold →
+synthesize constraint → re-solve, /root/reference/ecc/ecc.py:787-900) and
+warm-start retraining (/root/reference/e2e_scripts/train.py:262-269), re-
+expressed per the north rule as *checkpointed rounds that select uncertain
+pairs globally and retrain the pairwise scorer between rounds*:
+
+round R:
+  1. score all candidate pairs with the round-(R−1) scorer (actor pool)
+  2. cluster (transitive closure) → assignments checkpoint
+  3. metrics vs gold (pairwise F1, B³) → metrics checkpoint
+  4. select the globally most-uncertain k pairs (sort |p−0.5| → limit k)
+  5. reveal their gold labels; append to the accumulated label store
+  6. retrain the scorer on all revealed labels (driver-side fit — the label
+     store is bounded by k × rounds)
+  7. write round checkpoint (labels, model, counters) with _SUCCESS
+
+Resume: rounds whose checkpoint has _SUCCESS are skipped; the label store
+and model reload from the last complete round (north-rule resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..eval.metrics import b3_prf, pairwise_prf
+from ..stages.features import FEATURE_COLS
+from ..state.checkpoint import is_complete, mark_success, stage_dir, write_checkpoint
+from ..state.model import LogisticScorer
+from .er import resolve_pages
+
+
+def _assign_quality(assign_df: pd.DataFrame, gold: pd.DataFrame) -> dict:
+    pred = assign_df.rename(columns={"node": "id", "label": "pred"})
+    g = gold.rename(columns={"doc_id": "id", "gold_entity_id": "gold"})
+    pp, pr, pf = pairwise_prf(pred, g)
+    bp, br, bf = b3_prf(pred, g)
+    return {
+        "pair_precision": pp, "pair_recall": pr, "pair_f1": pf,
+        "b3_precision": bp, "b3_recall": br, "b3_f1": bf,
+    }
+
+
+def run_feedback_rounds(
+    pages_path: str,
+    gold_path: str,
+    out_dir: str,
+    n_rounds: int = 3,
+    k_per_round: int = 200,
+    threshold: float = 0.5,
+    seed: int = 17,
+    resolve_kwargs: dict | None = None,
+) -> list[dict]:
+    """Run (or resume) the feedback loop; returns per-round metric dicts.
+
+    ``gold_path`` parquet: (url, gold_entity_id) — read only for metric
+    computation and label revelation, never visible to the pipeline."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages = ray.data.read_parquet(pages_path)
+    gold_urls = pd.read_parquet(gold_path)
+
+    resolve_kwargs = dict(resolve_kwargs or {})
+
+    # map gold to doc ids (same stable hash as add_doc_ids)
+    from ..functions.hashing import blake2b64
+
+    gold_urls["doc_id"] = [blake2b64(u) >> 1 for u in gold_urls["url"]]
+    gold = gold_urls[["doc_id", "gold_entity_id"]]
+    gold_lookup = dict(zip(gold["doc_id"], gold["gold_entity_id"]))
+
+    model: LogisticScorer | None = None
+    labels = pd.DataFrame(columns=["id1", "id2", "label", *FEATURE_COLS])
+    history: list[dict] = []
+
+    for rnd in range(n_rounds):
+        rdir = stage_dir(out_dir, rnd, "round")
+        label_path = os.path.join(rdir, "labels.parquet")
+        model_path = os.path.join(rdir, "model.npz")
+        metrics_path = os.path.join(rdir, "metrics.json")
+        if is_complete(rdir):
+            # resume: reload accumulated labels + model, skip the round
+            labels = pd.read_parquet(label_path)
+            if os.path.exists(model_path):
+                model = LogisticScorer.load(model_path)
+            with open(metrics_path) as f:
+                history.append(json.load(f))
+            continue
+
+        result = resolve_pages(pages, model=model, threshold=threshold,
+                               **resolve_kwargs)
+        scored = result["scored"]
+        assignments = result["assignments"]
+
+        # checkpoints: assignments + lineage counters (per-partition parquet)
+        write_checkpoint(assignments, stage_dir(out_dir, rnd, "assignments"))
+        write_checkpoint(result["counters"], stage_dir(out_dir, rnd, "counters"))
+
+        assign_df = assignments.to_pandas()
+        metrics = _assign_quality(assign_df, gold)
+        metrics["round"] = rnd
+        metrics["n_labels"] = int(len(labels))
+
+        # 4. global top-k uncertain pairs (exclude already-labeled)
+        scored_pd_cols = ["id1", "id2", "score", *FEATURE_COLS]
+
+        def _unc(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[scored_pd_cols].copy()
+            df["uncertainty"] = (df["score"] - 0.5).abs()
+            return df
+
+        unc = scored.map_batches(_unc, batch_format="pandas")
+        topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
+            k_per_round + len(labels)).to_pandas()
+        if len(labels):
+            seen = set(zip(labels["id1"], labels["id2"]))
+            topk = topk[~topk.apply(
+                lambda r: (r["id1"], r["id2"]) in seen, axis=1)]
+        topk = topk.head(k_per_round)
+
+        # 5. reveal gold labels
+        revealed = topk.copy()
+        revealed["label"] = [
+            float(gold_lookup.get(a) == gold_lookup.get(b))
+            for a, b in zip(revealed["id1"], revealed["id2"])
+        ]
+        labels = pd.concat(
+            [labels, revealed[["id1", "id2", "label", *FEATURE_COLS]]],
+            ignore_index=True)
+
+        # 6. retrain scorer on accumulated labels (driver-side; bounded)
+        if labels["label"].nunique() > 1:
+            X = labels[FEATURE_COLS].to_numpy(dtype=np.float64)
+            y = labels["label"].to_numpy(dtype=np.float64)
+            model = LogisticScorer(seed=seed).fit(X, y)
+
+        # 7. round checkpoint
+        os.makedirs(rdir, exist_ok=True)
+        labels.to_parquet(label_path, index=False)
+        if model is not None:
+            model.save(model_path)
+        with open(metrics_path, "w") as f:
+            json.dump(metrics, f)
+        mark_success(rdir, {"round": rnd, "n_labels": int(len(labels))})
+        history.append(metrics)
+
+    return history

@@ -123,7 +123,7 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
             )
 
     partials = orders.map_batches(JoinAndPartial, batch_format="pandas",
-                                  concurrency=4, batch_size=65536)
+                                  concurrency=(1, 4), batch_size=65536)
     out = partials.groupby("n_name").aggregate(
         Sum("total_revenue", alias_name="total_revenue"),
         Sum("order_count", alias_name="order_count"),

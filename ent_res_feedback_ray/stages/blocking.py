@@ -79,8 +79,8 @@ class MinHasher:
 
 
 def minhash_stage(ds: ray.data.Dataset, num_perm: int = 128, shingle_n: int = 3,
-                  seed: int = 42, concurrency: int | None = None) -> ray.data.Dataset:
-    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": 4}
+                  seed: int = 42, concurrency=None) -> ray.data.Dataset:
+    kwargs = {"concurrency": concurrency if concurrency else (1, 4)}
     return ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "shingle_n": shingle_n, "seed": seed},

@@ -66,7 +66,7 @@ class ConstraintStage:
 
 def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
                      lang_rule: bool = True, exact_text_rule: bool = True,
-                     concurrency: int = 4) -> ray.data.Dataset:
+                     concurrency=(1, 4)) -> ray.data.Dataset:
     seeds_ref = ray.put(seeds or {})
     return ds.map_batches(
         ConstraintStage,

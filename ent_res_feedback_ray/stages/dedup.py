@@ -211,7 +211,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
+def simhash_pairs(sf_dir: str, max_hamming: int = 4) -> ray.data.Dataset:
     """64-bit SimHash over token counts; candidates = docs sharing any of 4
     16-bit simhash bands (exact-match blocks for hamming ≤ 8 in expectation);
     verified by full Hamming distance.  Band trick: pigeonhole — at distance
@@ -286,7 +286,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98) -> ray.data.Dataset:
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     """Embedding near-dup: all-pairs cosine ≥ threshold via blocked numpy
     matmul — each batch multiplies against the (broadcast) full normalized
     matrix, so compute is vectorized and the quadratic term never
@@ -316,18 +316,21 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98) -> ray.data.Datase
             id1 = qids[rows]
             id2 = self.ids[cols]
             keep = id1 < id2  # canonical order + drop self-pairs
+            # NOTE: the cosine value itself is excluded from the compared
+            # output — DuckDB's list_cosine_similarity computes in float32,
+            # numpy in float64 (~1e-8 apart); pair membership at the
+            # threshold is stable, the last float digits are not.
             return pd.DataFrame({
-                "id1": id1[keep], "id2": id2[keep],
-                "cosine": np.round(sims[rows, cols][keep], 6),
+                "id1": pd.array(id1[keep], dtype="int64"),
+                "id2": pd.array(id2[keep], dtype="int64"),
             })
 
-    return emb.map_batches(CosineBlock, batch_format="pandas", concurrency=4,
+    return emb.map_batches(CosineBlock, batch_format="pandas", concurrency=(1, 4),
                            batch_size=1024)
 
 
 EMBEDDING_DUP_SQL = """
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+SELECT a.vec_id AS id1, b.vec_id AS id2
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """.strip()

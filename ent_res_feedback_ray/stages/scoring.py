@@ -65,7 +65,7 @@ class TrainedScorer:
         return batch.append_column(self.out_col, pa.array(p, pa.float64()))
 
 
-def trained_scoring_stage(ds: ray.data.Dataset, model, concurrency: int = 4,
+def trained_scoring_stage(ds: ray.data.Dataset, model, concurrency=(1, 4),
                           batch_size: int = 8192) -> ray.data.Dataset:
     model_ref = ray.put(model)
     return ds.map_batches(

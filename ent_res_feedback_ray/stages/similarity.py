@@ -1,0 +1,210 @@
+"""Similarity search over the embeddings table: brute-force cosine top-k
+(baseline) and an LSH-bucketed approximate variant (scale path).
+
+Reference analog: SPECTER-embedding cosine features
+(/root/reference/s2and/featurizer.py:486-501, /root/reference/s2and/text.py:374-394);
+top-k retrieval itself is a training-data-pipeline addition (task brief).
+
+Scale design: the query matrix is broadcast once (``ray.put``), each batch of
+the corpus does one numpy matmul against it — compute is a dense GEMM, the
+corpus streams.  The IVF variant shrinks the per-batch GEMM to the probed
+buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..sources.tables import read_table
+
+
+def _normalized_matrix(df: pd.DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    ids = df[id_col].to_numpy(np.int64)
+    M = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
+
+
+def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
+    """Exact cosine top-k: queries = the first ``n_queries`` vectors by id;
+    neighbors over the whole table (self excluded).  Output
+    (query_id, neighbor_id, rank) with deterministic id tie-break.
+
+    The corpus streams in batches; each batch computes a (batch × n_queries)
+    GEMM and emits its local candidates; the global top-k per query is a
+    small sort over n_batches×k rows."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.to_pandas().nsmallest(n_queries, "vec_id")
+    qids, Q = _normalized_matrix(qdf)
+    qref = ray.put((qids, Q))
+
+    class LocalTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _normalized_matrix(df)
+            sims = self.Q @ M.T  # [n_queries, batch]
+            out = []
+            for qi in range(len(self.qids)):
+                s = sims[qi]
+                mask = ids != self.qids[qi]
+                cand_ids = ids[mask]
+                cand_s = s[mask]
+                top = min(k, len(cand_ids))
+                if top == 0:
+                    continue
+                # local top-k (order by -sim, id)
+                order = np.lexsort((cand_ids, -cand_s))[:top]
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "neighbor_id": cand_ids[order],
+                    "cosine": cand_s[order],
+                }))
+            if not out:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+            return pd.concat(out, ignore_index=True)
+
+    local = emb.map_batches(LocalTopK, batch_format="pandas", concurrency=(1, 4),
+                            batch_size=2048)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  ORDER BY vec_id LIMIT 10
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+""".strip()
+
+
+def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
+                 n_planes: int = 12, n_tables: int = 6, seed: int = 42) -> ray.data.Dataset:
+    """Approximate cosine top-k via random-hyperplane LSH (SimHash family).
+
+    Each vector hashes to ``n_tables`` bucket keys (sign pattern of
+    ``n_planes`` random projections).  Queries search only colliding
+    buckets — at scale this replaces the full GEMM with per-bucket GEMMs.
+    Recall is probabilistic (rows-only check; the brute-force twin above is
+    the exactness oracle)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    qdf = first.nsmallest(n_queries, "vec_id")
+    qids, Q = _normalized_matrix(qdf)
+    shared = ray.put((planes, qids, Q))
+
+    class BucketTopK:
+        def __init__(self):
+            self.planes, self.qids, self.Q = ray.get(shared)
+            # query bucket keys per table
+            self.qkeys = []
+            for t in range(len(self.planes)):
+                proj = self.Q @ self.planes[t].T > 0
+                self.qkeys.append(proj @ (1 << np.arange(proj.shape[1])))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _normalized_matrix(df)
+            hit = np.zeros((len(self.qids), len(ids)), dtype=bool)
+            for t in range(len(self.planes)):
+                proj = M @ self.planes[t].T > 0
+                keys = proj @ (1 << np.arange(proj.shape[1]))
+                hit |= self.qkeys[t][:, None] == keys[None, :]
+            out = []
+            for qi in range(len(self.qids)):
+                cand = np.nonzero(hit[qi] & (ids != self.qids[qi]))[0]
+                if len(cand) == 0:
+                    continue
+                sims = self.Q[qi] @ M[cand].T
+                order = np.lexsort((ids[cand], -sims))[: k]
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "neighbor_id": ids[cand][order],
+                    "cosine": sims[order],
+                }))
+            if not out:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+            return pd.concat(out, ignore_index=True)
+
+    local = emb.map_batches(BucketTopK, batch_format="pandas", concurrency=(1, 4),
+                            batch_size=2048)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def embedding_centroids(sf_dir: str, n_iter: int = 10, k: int = 10,
+                        seed: int = 42) -> ray.data.Dataset:
+    """Distributed k-means (IVF coarse quantizer training): per-batch partial
+    assignment + centroid sums, driver reduces — the centroid table is the
+    IVF index the ANN scale path partitions by.  Deterministic seeding."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.to_pandas()
+    ids, M = _normalized_matrix(sample)
+    rng = np.random.default_rng(seed)
+    centroids = M[rng.choice(len(M), size=k, replace=False)]
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        class Partial:
+            def __init__(self):
+                self.C = ray.get(cref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                _, X = _normalized_matrix(df)
+                assign = np.argmax(X @ self.C.T, axis=1)
+                out = []
+                for c in np.unique(assign):
+                    sel = X[assign == c]
+                    out.append({"centroid": int(c), "count": len(sel),
+                                "vecsum": sel.sum(axis=0).tolist()})
+                return pd.DataFrame(out)
+
+        parts = emb.map_batches(Partial, batch_format="pandas",
+                                batch_size=2048, concurrency=(1, 2)).to_pandas()
+        new_c = centroids.copy()
+        for c in range(k):
+            rows = parts[parts["centroid"] == c]
+            if len(rows):
+                total = np.sum(np.stack(rows["vecsum"].to_numpy()), axis=0)
+                n = rows["count"].sum()
+                v = total / n
+                new_c[c] = v / max(np.linalg.norm(v), 1e-12)
+        centroids = new_c
+    out = pd.DataFrame({
+        "centroid_id": np.arange(k, dtype=np.int64),
+        "centroid": [c.tolist() for c in centroids],
+    })
+    return ray.data.from_pandas(out)

@@ -1,0 +1,77 @@
+"""B³ goldens reused verbatim from the reference's implementation-independent
+quadruples (/root/reference/tests/test_eval.py:7-38) + pairwise PRF sanity."""
+
+import pandas as pd
+import pytest
+
+from ent_res_feedback_ray.eval.metrics import b3_from_dicts, b3_prf, pairwise_prf
+
+GOLD_A = {"dark": [1, 2, 3, 4, 5], "light": [6, 7, 9, 12, 13, 14],
+          "line": [8], "purple": [10], "spotted": [11]}
+
+
+def test_b3_cluster_homogeneity_1():
+    pred = {"1": [1, 2, 3, 4], "2": [5, 6, 7], "3": [8, 9, 10, 11, 12, 13, 14]}
+    p, r, f = b3_from_dicts(pred, GOLD_A)
+    assert round(p, 3) == 0.599
+    assert round(r, 3) == 0.695
+    assert round(f, 3) == 0.643
+
+
+def test_b3_cluster_homogeneity_2():
+    pred = {"1": [1, 2, 3, 4], "2": [5], "3": [6, 7], "4": [8, 9, 10, 11, 12, 13, 14]}
+    p, r, f = b3_from_dicts(pred, GOLD_A)
+    assert round(p, 3) == 0.694
+    assert round(r, 3) == 0.695
+    assert round(f, 3) == 0.695
+
+
+GOLD_B = {"dark": [1, 2, 3, 4, 5], "light": [6, 7], "line1": [8, 9],
+          "line2": [10, 11], "line3": [12, 13]}
+
+
+def test_b3_size_v_quantity_1():
+    pred = {"1": [1, 2, 3, 4, 5], "2": [6], "3": [7], "4": [8], "5": [9],
+            "6": [10], "7": [11], "8": [12], "9": [13]}
+    p, r, f = b3_from_dicts(pred, GOLD_B)
+    assert round(p, 3) == 1
+    assert round(r, 3) == 0.692
+    assert round(f, 3) == 0.818
+
+
+def test_b3_size_v_quantity_2():
+    pred = {"1": [1, 2, 3, 4], "2": [5], "3": [6, 7], "4": [8, 9],
+            "5": [10, 11], "6": [12, 13]}
+    p, r, f = b3_from_dicts(pred, GOLD_B)
+    assert round(p, 3) == 1
+    assert round(r, 3) == 0.877
+    assert round(f, 3) == 0.934
+
+
+def _frames(pred_pairs, gold_pairs):
+    pred = pd.DataFrame(pred_pairs, columns=["id", "pred"])
+    gold = pd.DataFrame(gold_pairs, columns=["id", "gold"])
+    return pred, gold
+
+
+def test_pairwise_perfect():
+    pred, gold = _frames([(1, "a"), (2, "a"), (3, "b")],
+                         [(1, "x"), (2, "x"), (3, "y")])
+    p, r, f = pairwise_prf(pred, gold)
+    assert (p, r, f) == (1.0, 1.0, 1.0)
+
+
+def test_pairwise_split():
+    # gold one cluster of 3 (3 pairs); pred splits into 2+1 (1 pair)
+    pred, gold = _frames([(1, "a"), (2, "a"), (3, "b")],
+                         [(1, "x"), (2, "x"), (3, "x")])
+    p, r, f = pairwise_prf(pred, gold)
+    assert p == 1.0
+    assert r == pytest.approx(1 / 3)
+    assert f == pytest.approx(2 * 1 / (3 + 1))
+
+
+def test_b3_identical_is_perfect():
+    pred, gold = _frames([(i, i % 3) for i in range(30)],
+                         [(i, i % 3) for i in range(30)])
+    assert b3_prf(pred, gold) == (1.0, 1.0, 1.0)

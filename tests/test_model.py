@@ -1,0 +1,56 @@
+"""Trainable pairwise scorer (numpy logistic regression) + AUROC."""
+
+import numpy as np
+import pytest
+
+from ent_res_feedback_ray.state.model import LogisticScorer, auroc
+
+
+def _toy(seed=0, n=400):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 3))
+    logits = 2.5 * X[:, 0] - 1.5 * X[:, 1]
+    y = (logits + 0.3 * rng.normal(size=n) > 0).astype(float)
+    return X, y
+
+
+def test_fit_separates():
+    X, y = _toy()
+    m = LogisticScorer().fit(X, y)
+    p = m.predict_proba(X)
+    assert auroc(y, p) > 0.95
+    acc = ((p > 0.5) == y).mean()
+    assert acc > 0.85
+
+
+def test_deterministic():
+    X, y = _toy()
+    m1 = LogisticScorer().fit(X, y)
+    m2 = LogisticScorer().fit(X, y)
+    assert np.array_equal(m1.w, m2.w)
+    assert m1.b == m2.b
+
+
+def test_nan_fill():
+    X, y = _toy()
+    X[::7, 1] = np.nan
+    m = LogisticScorer(nan_fill=0.0).fit(X, y)
+    p = m.predict_proba(X)
+    assert np.isfinite(p).all()
+    assert auroc(y, p) > 0.85
+
+
+def test_save_load(tmp_path):
+    X, y = _toy()
+    m = LogisticScorer().fit(X, y)
+    path = str(tmp_path / "model.npz")
+    m.save(path)
+    m2 = LogisticScorer.load(path)
+    assert np.allclose(m.predict_proba(X), m2.predict_proba(X))
+
+
+def test_auroc_known_values():
+    y = np.array([0, 0, 1, 1])
+    assert auroc(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert auroc(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert auroc(y, np.array([0.5, 0.5, 0.5, 0.5])) == pytest.approx(0.5)

@@ -1,0 +1,71 @@
+"""Pair generation: canonical order, exhaustive vs windowed cap, partition
+invariance (FIXTURES.md §D determinism requirement)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ent_res_feedback_ray.stages.pairs import dedup_pairs, emit_block_pairs, pairs_from_blocks
+
+
+def _group(n, block="b"):
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64) + 100,
+        "block_key": block,
+        "norm_text": [f"text {i}" for i in range(n)],
+    })
+
+
+def test_exhaustive_pairs():
+    g = _group(5)
+    out = emit_block_pairs(g, id_col="doc_id", carry_cols=["norm_text"],
+                           block_col="block_key", max_pairs_per_block=100)
+    assert len(out) == 10
+    assert (out["id1"] < out["id2"]).all()
+    assert (out["pairs_possible"] == 10).all()
+    # each unordered pair exactly once
+    assert len(set(zip(out["id1"], out["id2"]))) == 10
+
+
+def test_windowed_cap():
+    g = _group(100)
+    out = emit_block_pairs(g, id_col="doc_id", carry_cols=[],
+                           block_col="block_key", max_pairs_per_block=300)
+    assert len(out) <= 300
+    assert (out["pairs_possible"] == 4950).all()
+    assert (out["id1"] < out["id2"]).all()
+    # sorted-neighborhood: only near-window pairs emitted
+    assert ((out["id2"] - out["id1"]) <= 3).all()
+
+
+def test_singleton_block_empty():
+    out = emit_block_pairs(_group(1), id_col="doc_id", carry_cols=[],
+                           block_col="block_key", max_pairs_per_block=10)
+    assert len(out) == 0
+
+
+def test_partition_invariance():
+    df = pd.concat([_group(7, "x"), _group(5, "y")], ignore_index=True)
+    # same data, different partition counts → identical pair sets
+    outs = []
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        pairs = pairs_from_blocks(ds, block_col="block_key", id_col="doc_id",
+                                  carry_cols=["norm_text"],
+                                  max_pairs_per_block=1000)
+        pdf = pairs.to_pandas().sort_values(
+            ["block_key", "id1", "id2"]).reset_index(drop=True)
+        outs.append(pdf)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_dedup_pairs():
+    df = pd.DataFrame({
+        "block_key": ["a", "b", "a"],
+        "id1": np.array([1, 1, 1], dtype=np.int64),
+        "id2": np.array([2, 2, 3], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df)
+    out = dedup_pairs(ds).to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert len(out) == 2
+    assert set(zip(out["id1"], out["id2"])) == {(1, 2), (1, 3)}

@@ -1,0 +1,85 @@
+"""String-similarity goldens (reference analogs
+/root/reference/tests/test_text.py:77-101) + DuckDB-parity spot checks."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ent_res_feedback_ray.functions.strsim import (
+    counter_jaccard,
+    jaccard,
+    jaro,
+    jaro_winkler,
+    levenshtein,
+    levenshtein_sim,
+    num_diff,
+    prefix_dist,
+)
+
+
+def test_levenshtein_goldens():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("flaw", "lawn") == 2
+
+
+def test_jaro_winkler_goldens():
+    assert jaro("martha", "marhta") == pytest.approx(0.9444444444444445)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133333333333332)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_duckdb_parity():
+    con = duckdb.connect()
+    cases = [("kitten", "sitting"), ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("abcdef", "f"), ("jellyfish", "smellyfish"), ("aaa", "aaa")]
+    for a, b in cases:
+        lev, jw = con.execute(
+            "select levenshtein(?, ?), jaro_winkler_similarity(?, ?)",
+            [a, b, a, b]).fetchone()
+        assert levenshtein(a, b) == lev
+        assert jaro_winkler(a, b) == pytest.approx(jw, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcde", max_size=12), st.text(alphabet="abcde", max_size=12))
+def test_levenshtein_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+def test_jaccards():
+    assert jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
+    assert math.isnan(jaccard(set(), {"a"}))
+    assert math.isnan(jaccard(None, {"a"}))
+    assert counter_jaccard({"a": 2, "b": 1}, {"a": 1, "c": 1}) == pytest.approx(1 / 4)
+    assert counter_jaccard({"a": 1}, {"b": 1}) == 0.0
+    # denominator clamp (reference featurizer.py:421,450 uses 5000)
+    big_a = {str(i): 1 for i in range(100)}
+    big_b = {str(i): 1 for i in range(50, 150)}
+    assert counter_jaccard(big_a, big_b, denominator_max=100) == pytest.approx(0.5)
+
+
+def test_prefix_and_diff():
+    assert prefix_dist("abcd", "abxy") == pytest.approx(0.5)
+    assert prefix_dist("abc", "abc") == 0.0
+    assert math.isnan(prefix_dist("", "abc"))
+    assert num_diff(3, 10) == 7
+    assert num_diff(3, 100, clamp=50) == 50
+    assert math.isnan(num_diff(None, 4))
+
+
+def test_levenshtein_sim():
+    assert levenshtein_sim("abcd", "abcd") == 1.0
+    assert levenshtein_sim("abcd", "abce") == pytest.approx(0.75)
+    assert math.isnan(levenshtein_sim("", "abc"))
