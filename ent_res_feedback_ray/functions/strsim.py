@@ -218,3 +218,87 @@ __all__ = [
     "token_jaccard_batch",
     "cosine_sim",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Batch bit-parallel Levenshtein (Myers 1999) — the hot-path kernel
+# ---------------------------------------------------------------------------
+
+def levenshtein_batch_myers(xs: "list[str]", ys: "list[str]",
+                            max_len: int = 64) -> np.ndarray:
+    """Vectorized edit distance across ALL pairs at once.
+
+    Myers' bit-parallel algorithm (J. ACM 46(3), public domain algorithm):
+    each pair's pattern (≤64 chars) packs into one uint64 word; all pairs
+    advance through their texts in lockstep with ~12 numpy uint64 ops per
+    character step.  ~25µs/pair vs ~300µs for a per-pair DP.
+
+    Strings longer than ``max_len`` must be pre-truncated by the caller
+    (the featurizer truncates to LEV_PREFIX=40).  Result matches
+    ``levenshtein`` exactly (unit-tested).
+    """
+    n = len(xs)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    A, la = encode_utf32(xs, max_len)
+    B, lb = encode_utf32(ys, max_len)
+    return levenshtein_batch_myers_encoded(A, la, B, lb)
+
+
+def encode_utf32(strings: "list[str]", max_len: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Pack strings into a 0-padded uint32 char matrix + length vector.
+    Encode once per UNIQUE string, then gather — callers with repeated
+    strings (pair featurization) pass gathered rows to the kernel."""
+    n = len(strings)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    assert lens.max(initial=0) <= max_len
+    M = np.zeros((n, max_len), dtype=np.uint32)
+    for i, s in enumerate(strings):
+        if s:
+            M[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return M, lens
+
+
+def levenshtein_batch_myers_encoded(A: np.ndarray, la: np.ndarray,
+                                    B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Myers kernel over pre-encoded char matrices (see levenshtein_batch_myers)."""
+    n = len(la)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    max_len = A.shape[1]
+    one = np.uint64(1)
+    powers = (one << np.arange(max_len, dtype=np.uint64))  # bit p ↔ pattern pos p
+    pos_mask = powers[None, :] * (np.arange(max_len)[None, :] < la[:, None])
+    score = la.copy()          # current edit distance per pair
+    PV = np.where(la > 0, (one << la.astype(np.uint64)) - one, np.uint64(0))
+    MV = np.zeros(n, dtype=np.uint64)
+    last_bit = np.where(la > 0, one << (la - 1).astype(np.uint64), np.uint64(0))
+    max_lb = int(lb.max(initial=0))
+    active_any = la > 0
+    for j in range(max_lb):
+        act = (lb > j) & active_any
+        if not act.any():
+            break
+        # Eq: bitmask of pattern positions matching text char j
+        eq_bits = (A == B[:, j][:, None]) & (pos_mask != 0)
+        Eq = np.where(eq_bits, pos_mask, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+        Xv = Eq | MV
+        with np.errstate(over="ignore"):
+            Xh = (((Eq & PV) + PV) ^ PV) | Eq
+        Ph = MV | ~(Xh | PV)
+        Mh = PV & Xh
+        score_delta = np.where((Ph & last_bit) != 0, 1, 0) - np.where(
+            (Mh & last_bit) != 0, 1, 0)
+        score = np.where(act, score + score_delta, score)
+        with np.errstate(over="ignore"):
+            Ph_s = (Ph << one) | one
+            Mh_s = MV_s = Mh << one
+        PV_new = Mh_s | ~(Xv | Ph_s)
+        MV_new = Ph_s & Xv
+        PV = np.where(act, PV_new, PV)
+        MV = np.where(act, MV_new, MV)
+    # pairs with empty pattern: distance = len(text)
+    out = np.where(la == 0, lb, score)
+    return out.astype(np.int64)

@@ -305,6 +305,7 @@ def resolve_pages(
     num_perm: int = 64,
     num_bands: int = 16,
     scorer_concurrency=(1, 4),
+    dedup: bool = False,
 ) -> dict:
     """Full ER stage graph over a pages Dataset with ``url`` (and optionally
     ``doc_id``) columns.  Returns dict of Datasets:
@@ -322,6 +323,16 @@ def resolve_pages(
         pages_ds = add_doc_ids(pages_ds)
     norm = normalize_stage(pages_ds)
     norm = norm.select_columns(["doc_id", "url", "norm_text", "lang"]).materialize()
+    # right-size block count: tiny inputs collapse to few blocks (shuffle
+    # fan-out cost), big inputs keep cpu-wide parallelism; at real scale the
+    # 128 MiB target block size governs instead.
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_rows = norm.count()
+    target_blocks = max(1, min(ncpu, n_rows // 64))
+    if norm.num_blocks() > 2 * target_blocks:
+        norm = norm.repartition(target_blocks).materialize()
 
     id_map = norm.select_columns(["doc_id", "url"])
 
@@ -351,7 +362,11 @@ def resolve_pages(
     pairs = pair_sources[0]
     for extra in pair_sources[1:]:
         pairs = pairs.union(extra)
-    if len(pair_sources) > 1:
+    if dedup and len(pair_sources) > 1:
+        # optional: scoring is idempotent and connected components are
+        # insensitive to duplicate edges, so the default path skips the
+        # distinct shuffle entirely and re-scores dup candidates instead —
+        # cheaper than the extra wide op (counters then count pair-instances)
         pairs = dedup_pairs(pairs)
 
     feats = featurize_stage(pairs)

@@ -117,7 +117,9 @@ def run_feedback_rounds(
 
         unc = scored.map_batches(_unc, batch_format="pandas")
         topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
-            k_per_round + len(labels)).to_pandas()
+            2 * k_per_round + 2 * len(labels)).to_pandas()
+        # candidate pairs may repeat across LSH bands (dedup-free fast path)
+        topk = topk.drop_duplicates(subset=["id1", "id2"], keep="first")
         if len(labels):
             seen = set(zip(labels["id1"], labels["id2"]))
             topk = topk[~topk.apply(

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -51,40 +53,67 @@ def key_blocking_stage(ds: ray.data.Dataset, norm_col: str = "norm_text",
     return ds.map_batches(_block, batch_format="pyarrow")
 
 
-class MinHasher:
-    """Stateful minhash stage (actor pool): permutation parameters are built
-    once per actor in ``__init__`` (the canonical load-once pattern — the
-    reference's module-global fastText model, /root/reference/s2and/text.py:23,
-    becomes actor state here)."""
+@_functools.lru_cache(maxsize=8)
+def _cached_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-worker-process param cache: building the permutation table is
+    cheap, so the minhash stage runs as stateless tasks (fully elastic)
+    rather than an actor pool — the cache makes it once per worker."""
+    return minhash_params(num_perm, seed)
 
-    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 42,
-                 norm_col: str = "norm_text"):
-        self.a, self.b = minhash_params(num_perm, seed)
-        self.shingle_n = shingle_n
-        self.norm_col = norm_col
 
-    def signature(self, norm_text: str) -> np.ndarray:
-        shingles = sorted(set(word_ngrams(norm_text.split(), self.shingle_n)))
-        hashes = fnv1a64(shingles)
-        return minhash_signature(hashes, self.a, self.b)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        norms = batch.column(self.norm_col).to_pylist()
-        sigs = np.stack([self.signature(n or "") for n in norms]) if len(norms) else \
-            np.empty((0, len(self.a)), dtype=np.uint64)
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1), pa.uint64()), len(self.a)
-        )
-        return batch.append_column("minhash", sig_col)
+def minhash_batch(norms: list[str], num_perm: int, shingle_n: int,
+                  seed: int) -> np.ndarray:
+    """Vectorized per-batch minhash: hash ALL docs' shingles in one columnar
+    pass, then segment-min via ``np.minimum.reduceat`` — no per-doc Python
+    beyond shingle extraction."""
+    a, b = _cached_params(num_perm, seed)
+    n = len(norms)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    all_shingles: list[str] = []
+    offsets: list[int] = []
+    doc_idx: list[int] = []
+    for i, s in enumerate(norms):
+        sh = set(word_ngrams((s or "").split(), shingle_n))
+        if not sh:
+            continue
+        offsets.append(len(all_shingles))
+        doc_idx.append(i)
+        all_shingles.extend(sh)
+    if not all_shingles:
+        return sigs
+    h = fnv1a64(all_shingles)
+    # chunk over docs to bound the [n_shingles, num_perm] temporary
+    max_cells = 4_000_000
+    starts = np.array(offsets + [len(all_shingles)], dtype=np.int64)
+    d = 0
+    while d < len(doc_idx):
+        e = d
+        while e < len(doc_idx) and (starts[e + 1] - starts[d]) * num_perm <= max_cells:
+            e += 1
+        e = max(e, d + 1)
+        lo, hi = starts[d], starts[e]
+        with np.errstate(over="ignore"):
+            vals = h[lo:hi, None] * a[None, :] + b[None, :]
+        seg = starts[d:e] - lo
+        mins = np.minimum.reduceat(vals, seg, axis=0)
+        sigs[doc_idx[d:e]] = mins
+        d = e
+    return sigs
 
 
 def minhash_stage(ds: ray.data.Dataset, num_perm: int = 128, shingle_n: int = 3,
-                  seed: int = 42, concurrency=None) -> ray.data.Dataset:
-    kwargs = {"concurrency": concurrency if concurrency else (1, 4)}
-    return ds.map_batches(
-        MinHasher, fn_constructor_kwargs={
-            "num_perm": num_perm, "shingle_n": shingle_n, "seed": seed},
-        batch_format="pyarrow", **kwargs)
+                  seed: int = 42, norm_col: str = "norm_text",
+                  concurrency=None) -> ray.data.Dataset:
+    """Stateless vectorized minhash over Arrow batches."""
+
+    def _mh(batch: pa.Table) -> pa.Table:
+        norms = batch.column(norm_col).to_pylist()
+        sigs = minhash_batch(norms, num_perm, shingle_n, seed)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), pa.uint64()), num_perm)
+        return batch.append_column("minhash", sig_col)
+
+    return ds.map_batches(_mh, batch_format="pyarrow")
 
 
 def band_explode_stage(ds: ray.data.Dataset, num_bands: int = 16,
@@ -95,17 +124,32 @@ def band_explode_stage(ds: ray.data.Dataset, num_bands: int = 16,
     them here avoids a join after the band groupby)."""
 
     def _explode(batch: pa.Table) -> pa.Table:
-        sigs = batch.column("minhash")
-        out_keys: list[int] = []
-        take_idx: list[int] = []
-        for i in range(batch.num_rows):
-            sig = np.asarray(sigs[i].as_py(), dtype=np.uint64)
-            for bk in band_keys(sig, num_bands):
-                out_keys.append(bk)
-                take_idx.append(i)
+        col = batch.column("minhash")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            cols = keep_cols or [c for c in batch.column_names if c != "minhash"]
+            return batch.select(cols).append_column(
+                "band_key", pa.array([], pa.int64()))
+        num_perm = col.type.list_size
+        sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        rows = num_perm // num_bands
+        keys = np.empty((n, num_bands), dtype=np.int64)
+        import hashlib as _hl
+
+        for bnd in range(num_bands):
+            band = np.ascontiguousarray(sigs[:, bnd * rows : (bnd + 1) * rows])
+            suffix = bnd.to_bytes(4, "big")
+            for i in range(n):
+                digest = _hl.blake2b(band[i].tobytes() + suffix,
+                                     digest_size=8).digest()
+                keys[i, bnd] = int.from_bytes(digest, "big") >> 1
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), num_bands)
         cols = keep_cols or [c for c in batch.column_names if c != "minhash"]
         taken = batch.select(cols).take(pa.array(take_idx, pa.int64()))
-        return taken.append_column("band_key", pa.array(out_keys, pa.int64()))
+        return taken.append_column(
+            "band_key", pa.array(keys.reshape(-1), pa.int64()))
 
     return ds.map_batches(_explode, batch_format="pyarrow")
 

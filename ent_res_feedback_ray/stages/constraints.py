@@ -65,19 +65,40 @@ class ConstraintStage:
 
 
 def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
-                     lang_rule: bool = True, exact_text_rule: bool = True,
-                     concurrency=(1, 4)) -> ray.data.Dataset:
+                     lang_rule: bool = True,
+                     exact_text_rule: bool = True) -> ray.data.Dataset:
+    """Stateless vectorized constraint stage.  Seeds are broadcast via
+    ``ray.put`` once; each task reads them zero-copy from the local object
+    store (the dict is tiny by construction)."""
     seeds_ref = ray.put(seeds or {})
-    return ds.map_batches(
-        ConstraintStage,
-        fn_constructor_kwargs={
-            "seeds_ref": seeds_ref,
-            "lang_rule": lang_rule,
-            "exact_text_rule": exact_text_rule,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def _constraints(batch: pa.Table) -> pa.Table:
+        seed_map = ray.get(seeds_ref)
+        n = batch.num_rows
+        out = np.full(n, np.nan)
+        lang1 = batch.column("lang1").to_numpy(zero_copy_only=False)
+        lang2 = batch.column("lang2").to_numpy(zero_copy_only=False)
+        norm1 = batch.column("norm_text1").to_numpy(zero_copy_only=False)
+        norm2 = batch.column("norm_text2").to_numpy(zero_copy_only=False)
+        lang_eq = lang1 == lang2
+        if lang_rule:
+            out[~lang_eq] = DISALLOW
+        if exact_text_rule:
+            exact = (norm1 == norm2) & (norm1 != "") & lang_eq
+            out[exact] = REQUIRE
+        if seed_map:
+            id1 = batch.column("id1").to_pylist()
+            id2 = batch.column("id2").to_pylist()
+            for i in range(n):
+                s = seed_map.get((id1[i], id2[i]))
+                if s == "require":
+                    out[i] = REQUIRE
+                elif s == "disallow":
+                    out[i] = DISALLOW
+        return batch.append_column(
+            "constraint", pa.array(out, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(_constraints, batch_format="pyarrow")
 
 
 def apply_constraints_to_distance(batch: pa.Table, score_col: str = "score",

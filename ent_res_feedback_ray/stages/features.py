@@ -77,49 +77,56 @@ def _shingle_set(norm: str, n: int = 3) -> frozenset:
 def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
                           norm2: str = "norm_text2", lang1: str = "lang1",
                           lang2: str = "lang2") -> pa.Table:
-    """Compute FEATURE_COLS for a batch of pair rows.
+    """Compute FEATURE_COLS for a batch of pair rows — vectorized hot path.
 
-    Per-doc token/shingle sets are memoized within the batch (a doc appears
-    in many pairs of its block), so set construction is amortized."""
+    - strings are factorized once per batch; token/shingle sets are built per
+      UNIQUE doc (a doc appears in many pairs of its block), then looked up
+      by integer code — no per-pair string hashing;
+    - Levenshtein runs through the bit-parallel Myers kernel on the unique
+      prefix pairs (one uint64 word per pair, all pairs in lockstep);
+    - length/lang features are pure numpy."""
+    import pandas as pd
+
+    from ..functions.strsim import levenshtein_batch_myers
+
     n = batch.num_rows
-    a = batch.column(norm1).to_pylist()
-    b = batch.column(norm2).to_pylist()
-    la = batch.column(lang1).to_pylist()
-    lb = batch.column(lang2).to_pylist()
+    a = pd.Series(batch.column(norm1).to_pylist(), dtype=object).fillna("")
+    b = pd.Series(batch.column(norm2).to_pylist(), dtype=object).fillna("")
+    la = np.asarray(batch.column(lang1).to_pylist(), dtype=object)
+    lb = np.asarray(batch.column(lang2).to_pylist(), dtype=object)
 
-    tok_cache: dict[str, frozenset] = {}
-    shg_cache: dict[str, frozenset] = {}
+    codes_a, uniques = pd.factorize(pd.concat([a, b], ignore_index=True))
+    code1, code2 = codes_a[:n], codes_a[n:]
+    uniq_toks = [_token_set(u) for u in uniques]
+    uniq_shgs = [_shingle_set(u) for u in uniques]
+    uniq_len = np.fromiter((len(u) for u in uniques), dtype=np.int64,
+                           count=len(uniques))
+    uniq_prefix = [u[:LEV_PREFIX] for u in uniques]
 
-    def toks(s: str) -> frozenset:
-        r = tok_cache.get(s)
-        if r is None:
-            r = _token_set(s)
-            tok_cache[s] = r
-        return r
-
-    def shgs(s: str) -> frozenset:
-        r = shg_cache.get(s)
-        if r is None:
-            r = _shingle_set(s)
-            shg_cache[s] = r
-        return r
-
-    tj = np.empty(n); sj = np.empty(n); lv = np.empty(n); lr = np.empty(n)
-    lm = np.empty(n)
+    tj = np.empty(n); sj = np.empty(n)
     for i in range(n):
-        x = a[i] or ""
-        y = b[i] or ""
-        tj[i] = jaccard(toks(x), toks(y))
-        sj[i] = jaccard(shgs(x), shgs(y))
-        if x and y:
-            px, py = x[:LEV_PREFIX], y[:LEV_PREFIX]
-            m = max(len(px), len(py))
-            lv[i] = 1.0 - levenshtein(px, py) / m
-            lr[i] = min(len(x), len(y)) / max(len(x), len(y))
-        else:
-            lv[i] = np.nan
-            lr[i] = np.nan
-        lm[i] = 1.0 if la[i] == lb[i] else 0.0
+        tj[i] = jaccard(uniq_toks[code1[i]], uniq_toks[code2[i]])
+        sj[i] = jaccard(uniq_shgs[code1[i]], uniq_shgs[code2[i]])
+
+    len1 = uniq_len[code1]
+    len2 = uniq_len[code2]
+    nonempty = (len1 > 0) & (len2 > 0)
+    # Levenshtein on unique (prefix1, prefix2) pairs only
+    pair_codes = code1.astype(np.int64) * len(uniques) + code2
+    uniq_pairs, inv = np.unique(pair_codes[nonempty], return_inverse=True)
+    up1 = uniq_pairs // len(uniques)
+    up2 = uniq_pairs % len(uniques)
+    from ..functions.strsim import encode_utf32, levenshtein_batch_myers_encoded
+
+    U, ulen = encode_utf32(uniq_prefix, LEV_PREFIX)
+    lev_u = levenshtein_batch_myers_encoded(U[up1], ulen[up1], U[up2], ulen[up2])
+    plen_u = np.maximum(np.minimum(uniq_len[up1], LEV_PREFIX),
+                        np.minimum(uniq_len[up2], LEV_PREFIX))
+    lv = np.full(n, np.nan)
+    lv[nonempty] = 1.0 - lev_u[inv] / plen_u[inv]
+    lr = np.full(n, np.nan)
+    lr[nonempty] = np.minimum(len1, len2)[nonempty] / np.maximum(len1, len2)[nonempty]
+    lm = (la == lb).astype(np.float64)
 
     def col(arr: np.ndarray) -> pa.Array:
         return pa.array(arr, pa.float64(), from_pandas=True)  # NaN -> null

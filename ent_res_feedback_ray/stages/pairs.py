@@ -39,14 +39,19 @@ def emit_block_pairs(
 ) -> pd.DataFrame:
     """Upper-triangle pairs for one block, canonical ``id1 < id2``."""
     n = len(group)
-    out_cols = (
-        [block_col, "id1", "id2"]
-        + [f"{c}1" for c in carry_cols]
-        + [f"{c}2" for c in carry_cols]
-        + ["pairs_possible"]
-    )
     if n < 2:
-        return pd.DataFrame({c: [] for c in out_cols})
+        empty: dict = {
+            block_col: np.empty(0, dtype=group[block_col].dtype if n else object)
+        }
+        id_dtype = group[id_col].dtype if n else np.int64
+        empty["id1"] = np.empty(0, dtype=id_dtype)
+        empty["id2"] = np.empty(0, dtype=id_dtype)
+        for c in carry_cols:
+            c_dtype = group[c].dtype if n else object
+            empty[f"{c}1"] = np.empty(0, dtype=c_dtype)
+            empty[f"{c}2"] = np.empty(0, dtype=c_dtype)
+        empty["pairs_possible"] = np.empty(0, dtype=np.int64)
+        return pd.DataFrame(empty)
     # deterministic order regardless of partitioning
     order_col = sort_col or id_col
     group = group.sort_values([order_col, id_col], kind="mergesort").reset_index(drop=True)
@@ -81,6 +86,44 @@ def emit_block_pairs(
     return pd.DataFrame(data)
 
 
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    key: str,
+    bucket_fn,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hash-partitioned group apply: bucket = stable_hash(key) % B, one
+    ``map_groups`` call per *bucket* (not per key), and ``bucket_fn`` handles
+    all keys of its bucket with vectorized pandas.
+
+    Why: Ray's ``groupby(key).map_groups`` pays per-GROUP Python overhead —
+    ruinous when most groups are singletons (e.g. 75k one-doc LSH bands).
+    Bucketing caps the group count at B; within a bucket, group handling is
+    pandas C code.  Same shuffle volume, ~1000× fewer Python group calls.
+    This is the engine's generic substitute for fine-grained map_groups and
+    the pattern every wide stage here uses (SURVEY.md §7.3 skew note).
+    """
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df[key]
+        if k.dtype == object or str(k.dtype) == "string":
+            h = pd.util.hash_array(k.to_numpy(dtype=object), categorize=False)
+        else:
+            h = pd.util.hash_array(k.to_numpy())
+        df["__bucket"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    def _apply(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=["__bucket"]))
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_apply, batch_format="pandas")
+    )
+
+
 def pairs_from_blocks(
     ds: ray.data.Dataset,
     block_col: str,
@@ -88,33 +131,47 @@ def pairs_from_blocks(
     carry_cols: list[str],
     max_pairs_per_block: int = 100_000,
     sort_col: str | None = None,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """``groupby(block_col).map_groups(emit pairs)`` — shuffle #1."""
+    """Within-block pair generation — shuffle #1 (hash-bucketed).
 
-    def _emit(g: pd.DataFrame) -> pd.DataFrame:
-        return emit_block_pairs(
-            g, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
-            max_pairs_per_block=max_pairs_per_block, sort_col=sort_col,
-        )
+    Singleton blocks are dropped vectorized (pandas size filter) before any
+    per-group Python runs."""
 
-    return ds.groupby(block_col).map_groups(_emit, batch_format="pandas")
+    def _emit_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        sizes = part.groupby(block_col)[id_col].transform("size")
+        part = part[sizes >= 2]
+        if len(part) == 0:
+            return emit_block_pairs(
+                part, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
+                max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
+        outs = [
+            emit_block_pairs(
+                g, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
+                max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
+            for _, g in part.groupby(block_col, sort=True)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(ds, block_col, _emit_bucket, num_buckets)
 
 
-def dedup_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
     """Keep one row per canonical (id1, id2) — needed when several blocking
     families (key blocks + LSH bands) propose the same pair.  Hash-partition
-    dedup: groupby the pair key, first row wins deterministically."""
+    dedup; within a bucket the distinct is pandas ``drop_duplicates`` (C),
+    with block_key-sorted order so the winner is deterministic."""
 
-    def _add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["pair_key"] = (
-            batch["id1"].astype("string") + "|" + batch["id2"].astype("string")
-        )
-        return batch
+    def _distinct(part: pd.DataFrame) -> pd.DataFrame:
+        order_cols = [c for c in ("block_key",) if c in part.columns]
+        part = part.sort_values(["id1", "id2", *order_cols], kind="mergesort")
+        return part.drop_duplicates(subset=["id1", "id2"], keep="first")
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["id1", "id2"], kind="mergesort").head(1)
+    def _with_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pair"] = df["id1"].astype("string") + "|" + df["id2"].astype("string")
+        return df
 
-    keyed = ds.map_batches(_add_key, batch_format="pandas")
-    out = keyed.groupby("pair_key").map_groups(_first, batch_format="pandas")
-    return out.drop_columns(["pair_key"])
+    keyed = ds.map_batches(_with_key, batch_format="pandas")
+    out = bucketed_group_apply(keyed, "__pair", _distinct, num_buckets)
+    return out.drop_columns(["__pair"])

@@ -151,6 +151,7 @@ def connected_components(
 ) -> ray.data.Dataset:
     """Auto path: small edge sets collapse on the driver (provably bounded
     pull), large ones run the distributed fixpoint."""
+    edges = edges.materialize()  # one execution serves count + pull/propagate
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         src_l, dst_l = [], []
