@@ -396,13 +396,14 @@ def resolve_pages(
         g["edges_kept"] = g["edges_kept"].astype(np.int64)
         return g
 
-    from ray.data.aggregate import Sum
+    from ..stages.shuffleops import bucketed_aggregate
 
     counter_partials = scored.map_batches(_counter_rows, batch_format="pyarrow")
-    counters = counter_partials.groupby("block_key").aggregate(
-        Sum("pairs_generated", alias_name="pairs_generated"),
-        Sum("pairs_scored", alias_name="pairs_scored"),
-        Sum("edges_kept", alias_name="edges_kept"),
+    counters = bucketed_aggregate(
+        counter_partials, "block_key",
+        pairs_generated=("pairs_generated", "sum"),
+        pairs_scored=("pairs_scored", "sum"),
+        edges_kept=("edges_kept", "sum"),
     )
 
     return {

@@ -149,8 +149,14 @@ GROUP BY n.n_name
 # ---------------------------------------------------------------------------
 
 def top_orders(sf_dir: str, k: int = 25) -> ray.data.Dataset:
-    """Top-k orders by revenue = sum of line revenues (groupby then global
-    sort+limit; ties broken by key for determinism)."""
+    """Top-k orders by revenue = sum of line revenues.
+
+    l_orderkey is HIGH cardinality (~n/4 groups) → the grouped sum runs
+    through ``bucketed_aggregate`` (see stages/shuffleops.py: Ray's native
+    aggregate pays ~2ms per group).  Global top-k = local top-k per block
+    then one small sort."""
+    from ..stages.shuffleops import bucketed_aggregate
+
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -160,11 +166,17 @@ def top_orders(sf_dir: str, k: int = 25) -> ray.data.Dataset:
         return df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
 
     partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    agg = bucketed_aggregate(partials, "l_orderkey", revenue=("revenue", "sum"))
     agg = agg.map_batches(
         lambda df: df.assign(revenue=np.round(df["revenue"], 2)), batch_format="pandas"
     )
-    return agg.sort(["revenue", "l_orderkey"], descending=[True, True]).limit(k)
+    # local top-k per block, then the global sort runs over ≤ k×blocks rows
+    local = agg.map_batches(
+        lambda df: df.sort_values(["revenue", "l_orderkey"],
+                                  ascending=[False, False]).head(k),
+        batch_format="pandas",
+    )
+    return local.sort(["revenue", "l_orderkey"], descending=[True, True]).limit(k)
 
 
 TOP_ORDERS_SQL = """
@@ -192,10 +204,12 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         return df.groupby(["window_start", "event_type"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
 
+    from ..stages.shuffleops import bucketed_aggregate
+
     partials = ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby(["window_start", "event_type"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    out = bucketed_aggregate(
+        partials, ["window_start", "event_type"],
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"),
     )
     return out.map_batches(
         lambda df: df.assign(sum_value=np.round(df["sum_value"], 2)),

@@ -48,13 +48,14 @@ def exact_dedup_groups(sf_dir: str) -> ray.data.Dataset:
 
     keyed = ds.map_batches(_fp, batch_format="pyarrow")
 
-    def _canon(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": g["doc_id"],
-            "canonical_id": np.int64(g["doc_id"].min()),
-        })
+    def _canon(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["canonical_id"] = part.groupby("fingerprint")["doc_id"].transform("min")
+        return part[["doc_id", "canonical_id"]]
 
-    return keyed.groupby("fingerprint").map_groups(_canon, batch_format="pandas")
+    from .shuffleops import bucketed_group_apply
+
+    return bucketed_group_apply(keyed, "fingerprint", _canon)
 
 
 EXACT_DEDUP_SQL = """
@@ -169,19 +170,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
         max_pairs_per_block=100_000,
     )
 
-    # dedup candidates across bands, then verify exactly
-    def _key(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(pair_key=df["id1"].astype(np.int64) * np.int64(2**32)
-                         + df["id2"].astype(np.int64))
+    # dedup candidates across bands (bucketed distinct), then verify exactly
+    from .pairs import dedup_pairs
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    uniq = (
-        cand.map_batches(_key, batch_format="pandas")
-        .groupby("pair_key")
-        .map_groups(_first, batch_format="pandas")
-    )
+    uniq = dedup_pairs(cand)
 
     def _verify(b: pa.Table) -> pa.Table:
         a = b.column("norm_text1").to_pylist()
@@ -267,19 +259,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 4) -> ray.data.Dataset:
         return out.drop_duplicates(subset=["id1", "id2"])
 
     verified = cand.map_batches(_verify, batch_format="pandas")
+    from .pairs import dedup_pairs
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return (
-        verified.map_batches(
-            lambda df: df.assign(pair_key=df["id1"].astype(np.int64) * np.int64(2**32)
-                                 + df["id2"].astype(np.int64)),
-            batch_format="pandas")
-        .groupby("pair_key")
-        .map_groups(_first, batch_format="pandas")
-        .drop_columns(["pair_key"])
-    )
+    return dedup_pairs(verified)
 
 
 # ---------------------------------------------------------------------------

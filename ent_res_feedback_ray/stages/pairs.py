@@ -86,42 +86,7 @@ def emit_block_pairs(
     return pd.DataFrame(data)
 
 
-def bucketed_group_apply(
-    ds: ray.data.Dataset,
-    key: str,
-    bucket_fn,
-    num_buckets: int = 32,
-) -> ray.data.Dataset:
-    """Hash-partitioned group apply: bucket = stable_hash(key) % B, one
-    ``map_groups`` call per *bucket* (not per key), and ``bucket_fn`` handles
-    all keys of its bucket with vectorized pandas.
-
-    Why: Ray's ``groupby(key).map_groups`` pays per-GROUP Python overhead —
-    ruinous when most groups are singletons (e.g. 75k one-doc LSH bands).
-    Bucketing caps the group count at B; within a bucket, group handling is
-    pandas C code.  Same shuffle volume, ~1000× fewer Python group calls.
-    This is the engine's generic substitute for fine-grained map_groups and
-    the pattern every wide stage here uses (SURVEY.md §7.3 skew note).
-    """
-
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        k = df[key]
-        if k.dtype == object or str(k.dtype) == "string":
-            h = pd.util.hash_array(k.to_numpy(dtype=object), categorize=False)
-        else:
-            h = pd.util.hash_array(k.to_numpy())
-        df["__bucket"] = (h % num_buckets).astype(np.int64)
-        return df
-
-    def _apply(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g.drop(columns=["__bucket"]))
-
-    return (
-        ds.map_batches(_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(_apply, batch_format="pandas")
-    )
+from .shuffleops import bucketed_group_apply  # noqa: E402  (re-export)
 
 
 def pairs_from_blocks(

@@ -61,8 +61,15 @@ def unionfind_numpy(src: np.ndarray, dst: np.ndarray,
 # Distributed min-label propagation
 # --------------------------------------------------------------------------
 
-def _propagate_round(labels: ray.data.Dataset, sym_edges: ray.data.Dataset) -> ray.data.Dataset:
-    """One round: label(v) ← min(label(v), min over neighbors' labels)."""
+def _propagate_round(labels: ray.data.Dataset, sym_edges: ray.data.Dataset,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """One round: label(v) ← min(label(v), min over neighbors' labels).
+
+    Two bucketed shuffles (see stages/shuffleops.py — per-node Python would
+    be ruinous at web scale): a cogroup that joins each edge's src label
+    (vectorized pandas merge per bucket), then a min-reduce per dst node."""
+    from ..stages.shuffleops import bucketed_group_apply, bucketed_min_label
+
     lab_tagged = labels.map_batches(
         lambda df: pd.DataFrame(
             {"node": df["node"], "val": df["label"], "is_label": True}
@@ -76,28 +83,28 @@ def _propagate_round(labels: ray.data.Dataset, sym_edges: ray.data.Dataset) -> r
         batch_format="pandas",
     )
 
-    def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
-        mine = g.loc[g["is_label"], "val"]
-        if len(mine) == 0:  # node with edges but no label row (shouldn't happen)
-            return pd.DataFrame({"node": [], "cand": []})
-        label = int(mine.min())
-        neighbors = g.loc[~g["is_label"], "val"].to_numpy(dtype=np.int64)
-        node = g["node"].iloc[0]
-        return pd.DataFrame(
-            {
-                "node": np.concatenate([neighbors, [node]]),
-                "cand": np.full(len(neighbors) + 1, label, dtype=np.int64),
-            }
+    def emit_messages(part: pd.DataFrame) -> pd.DataFrame:
+        # per bucket: label table ⋈ edge table on node (C-speed merge)
+        lab = (part.loc[part["is_label"], ["node", "val"]]
+               .groupby("node", as_index=False).min()
+               .rename(columns={"val": "label"}))
+        edges = part.loc[~part["is_label"], ["node", "val"]]
+        joined = edges.merge(lab, on="node", how="inner")
+        return pd.concat(
+            [
+                pd.DataFrame({"node": joined["val"].to_numpy(np.int64),
+                              "cand": joined["label"].to_numpy(np.int64)}),
+                pd.DataFrame({"node": lab["node"].to_numpy(np.int64),
+                              "cand": lab["label"].to_numpy(np.int64)}),
+            ],
+            ignore_index=True,
         )
 
-    messages = (
-        lab_tagged.union(edge_tagged)
-        .groupby("node")
-        .map_groups(emit_messages, batch_format="pandas")
-    )
-    new_labels = messages.groupby("node").min("cand")
+    messages = bucketed_group_apply(
+        lab_tagged.union(edge_tagged), "node", emit_messages, num_buckets)
+    new_labels = bucketed_min_label(messages, "node", "cand", num_buckets)
     return new_labels.map_batches(
-        lambda df: df.rename(columns={"min(cand)": "label"}), batch_format="pandas"
+        lambda df: df.rename(columns={"cand": "label"}), batch_format="pandas"
     )
 
 
@@ -121,8 +128,13 @@ def connected_components_distributed(
     ).materialize()
 
     if nodes is None:
-        node_ds = sym.groupby("src").count().map_batches(
-            lambda df: pd.DataFrame({"node": df["src"]}), batch_format="pandas"
+        from ..stages.shuffleops import distinct_values
+
+        node_ds = distinct_values(
+            sym.map_batches(
+                lambda df: pd.DataFrame({"node": df["src"]}),
+                batch_format="pandas"),
+            "node",
         )
     else:
         node_ds = nodes
