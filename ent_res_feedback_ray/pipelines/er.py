@@ -323,35 +323,34 @@ def resolve_pages(
         pages_ds = add_doc_ids(pages_ds)
     norm = normalize_stage(pages_ds)
     norm = norm.select_columns(["doc_id", "url", "norm_text", "lang"]).materialize()
-    # right-size block count: tiny inputs collapse to few blocks (shuffle
-    # fan-out cost), big inputs keep cpu-wide parallelism; at real scale the
-    # 128 MiB target block size governs instead.
+    # right-size block count: the featurize stage downstream is CPU-bound, so
+    # parallelism must track the cluster (sources read via read_table already
+    # produce ~ncpu/2..ncpu blocks; from_pandas fixtures arrive as 1 block)
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    n_rows = norm.count()
-    target_blocks = max(1, min(ncpu, n_rows // 64))
-    if norm.num_blocks() > 2 * target_blocks:
-        norm = norm.repartition(target_blocks).materialize()
+    if norm.num_blocks() < max(2, ncpu // 2):
+        norm = norm.repartition(max(2, ncpu // 2)).materialize()
 
     id_map = norm.select_columns(["doc_id", "url"])
 
+    # Pair generation carries ONLY ids + block key — featurizer inputs are
+    # attached AFTER the blocking shuffles (attach_attrs: broadcast gather at
+    # this scale, bucketed cogroup join at dimension scale).  Carrying the
+    # full text through a 16-band explode would amplify shuffle volume 16×
+    # (SURVEY.md §7.4 "very wide pair rows").
     pair_sources = []
     if use_key_blocks:
-        keyed = key_blocking_stage(norm).select_columns(
-            ["doc_id", "block_key", "norm_text", "lang"])
+        keyed = key_blocking_stage(norm).select_columns(["doc_id", "block_key"])
         pair_sources.append(pairs_from_blocks(
-            keyed, block_col="block_key", id_col="doc_id",
-            carry_cols=["norm_text", "lang"],
+            keyed, block_col="block_key", id_col="doc_id", carry_cols=[],
             max_pairs_per_block=max_pairs_per_block))
     if use_lsh:
-        mh = minhash_stage(norm.select_columns(["doc_id", "norm_text", "lang"]),
+        mh = minhash_stage(norm.select_columns(["doc_id", "norm_text"]),
                            num_perm=num_perm, seed=42)
-        bands = band_explode_stage(mh, num_bands=num_bands,
-                                   keep_cols=["doc_id", "norm_text", "lang"])
+        bands = band_explode_stage(mh, num_bands=num_bands, keep_cols=["doc_id"])
         lsh_pairs = pairs_from_blocks(
-            bands, block_col="band_key", id_col="doc_id",
-            carry_cols=["norm_text", "lang"],
+            bands, block_col="band_key", id_col="doc_id", carry_cols=[],
             max_pairs_per_block=max_pairs_per_block)
         lsh_pairs = lsh_pairs.map_batches(
             lambda df: df.assign(block_key="band_" + df["band_key"].astype(str))
@@ -369,13 +368,25 @@ def resolve_pages(
         # cheaper than the extra wide op (counters then count pair-instances)
         pairs = dedup_pairs(pairs)
 
+    from ..stages.shuffleops import attach_attrs
+
+    pairs = attach_attrs(
+        pairs, norm.select_columns(["doc_id", "norm_text", "lang"]),
+        id_col="doc_id", attr_cols=["norm_text", "lang"])
     feats = featurize_stage(pairs)
     if model is None:
         scored = linear_scoring_stage(feats)
     else:
         scored = trained_scoring_stage(feats, model,
                                        concurrency=scorer_concurrency)
-    scored = constraint_stage(scored, seeds=seeds).materialize()
+    scored = constraint_stage(scored, seeds=seeds)
+    # project the (wide) text payload away before materializing — everything
+    # downstream (edges, counters, uncertainty selection) needs only ids,
+    # block key, features, score, constraint
+    keep = ["block_key", "id1", "id2", "pairs_possible",
+            "token_jaccard", "shingle_jaccard", "lev_sim", "len_ratio",
+            "lang_match", "score", "constraint"]
+    scored = scored.select_columns(keep).materialize()
 
     all_ids = norm.map_batches(
         lambda df: pd.DataFrame({"node": df["doc_id"]}), batch_format="pandas")

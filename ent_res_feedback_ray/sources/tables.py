@@ -23,7 +23,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _auto_blocks(path: str) -> int:
+    """Right-size read parallelism: ~8 MiB of file per block, capped at the
+    CPU count.  Tiny files become a handful of blocks instead of Ray's
+    default fan-out (64 micro-blocks of KBs each → per-task overhead swamps
+    compute).  At real scale the 128 MiB target block size governs."""
+    import ray
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # floor at ncpu/2 so downstream map stages (and the shuffles whose reduce
+    # fan-out follows block count) keep CPU-proportional parallelism — the
+    # scaling path needs block count to grow with the cluster
+    return max(1, min(ncpu, max(size // (4 << 20), ncpu // 2)))
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """Read one star-schema table with column pruning."""
-    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns, **kwargs)
+    path = table_path(sf_dir, name)
+    if "override_num_blocks" not in kwargs:
+        blocks = _auto_blocks(path)
+        if blocks:
+            kwargs["override_num_blocks"] = blocks
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

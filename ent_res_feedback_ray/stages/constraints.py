@@ -98,7 +98,7 @@ def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
         return batch.append_column(
             "constraint", pa.array(out, pa.float64(), from_pandas=True))
 
-    return ds.map_batches(_constraints, batch_format="pyarrow")
+    return ds.map_batches(_constraints, batch_format="pyarrow", batch_size=None)
 
 
 def apply_constraints_to_distance(batch: pa.Table, score_col: str = "score",

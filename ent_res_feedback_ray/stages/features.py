@@ -142,5 +142,8 @@ def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
 
 def featurize_stage(ds: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return ds.map_batches(
-        lambda b: featurize_pairs_batch(b, **kwargs), batch_format="pyarrow"
+        lambda b: featurize_pairs_batch(b, **kwargs), batch_format="pyarrow",
+        # large batches amortize per-unique-doc set construction; capped so a
+        # single oversized block doesn't become one straggler task
+        batch_size=32768,
     )

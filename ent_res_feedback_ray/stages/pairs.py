@@ -104,21 +104,98 @@ def pairs_from_blocks(
     per-group Python runs."""
 
     def _emit_bucket(part: pd.DataFrame) -> pd.DataFrame:
-        sizes = part.groupby(block_col)[id_col].transform("size")
-        part = part[sizes >= 2]
-        if len(part) == 0:
-            return emit_block_pairs(
-                part, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
-                max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
-        outs = [
-            emit_block_pairs(
-                g, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
-                max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
-            for _, g in part.groupby(block_col, sort=True)
-        ]
-        return pd.concat(outs, ignore_index=True)
+        return emit_bucket_pairs_vectorized(
+            part, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
+            max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
 
     return bucketed_group_apply(ds, block_col, _emit_bucket, num_buckets)
+
+
+def emit_bucket_pairs_vectorized(
+    part: pd.DataFrame,
+    id_col: str,
+    carry_cols: list[str],
+    block_col: str,
+    max_pairs_per_block: int,
+    sort_col: str | None = None,
+) -> pd.DataFrame:
+    """All small blocks of a bucket at once, no per-group Python.
+
+    Groups are ordered deterministically, bucketed by SIZE CLASS, and each
+    size class emits its pairs with one tiled ``triu_indices`` gather —
+    a bucket with 100k two-doc bands costs a handful of numpy ops, not 100k
+    pandas calls.  Oversized blocks (pairs_possible > cap) fall back to the
+    per-group sorted-neighborhood windowing of ``emit_block_pairs``."""
+    order_col = sort_col or id_col
+    part = part.sort_values([block_col, order_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+    grp_codes, _ = pd.factorize(part[block_col], sort=False)
+    sizes_per_row = np.bincount(grp_codes)[grp_codes]
+    keep = sizes_per_row >= 2
+    part = part[keep].reset_index(drop=True)
+    if len(part) == 0:
+        return emit_block_pairs(
+            part, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
+            max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
+    grp_codes = grp_codes[keep]
+    # re-factorize to dense codes in row order (groups are contiguous)
+    change = np.empty(len(part), dtype=bool)
+    change[0] = True
+    np.not_equal(grp_codes[1:], grp_codes[:-1], out=change[1:])
+    dense = np.cumsum(change) - 1
+    offsets = np.nonzero(change)[0]
+    sizes = np.diff(np.append(offsets, len(part)))
+    possible = sizes * (sizes - 1) // 2
+
+    ids = part[id_col].to_numpy()
+    carries = {c: part[c].to_numpy() for c in carry_cols}
+    blocks = part[block_col].to_numpy()
+
+    i_parts: list[np.ndarray] = []
+    j_parts: list[np.ndarray] = []
+    poss_parts: list[np.ndarray] = []
+    small = possible <= max_pairs_per_block
+    for s in np.unique(sizes[small]):
+        g_off = offsets[small & (sizes == s)]
+        iu, ju = np.triu_indices(s, k=1)
+        i_parts.append((g_off[:, None] + iu[None, :]).ravel())
+        j_parts.append((g_off[:, None] + ju[None, :]).ravel())
+        poss_parts.append(np.repeat(np.int64(s * (s - 1) // 2),
+                                    len(g_off) * len(iu)))
+    big_frames: list[pd.DataFrame] = []
+    for g in np.nonzero(~small)[0]:
+        lo = offsets[g]
+        hi = lo + sizes[g]
+        big_frames.append(emit_block_pairs(
+            part.iloc[lo:hi], id_col=id_col, carry_cols=carry_cols,
+            block_col=block_col, max_pairs_per_block=max_pairs_per_block,
+            sort_col=sort_col))
+
+    if i_parts:
+        iu = np.concatenate(i_parts)
+        ju = np.concatenate(j_parts)
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        i1 = np.where(swap, ju, iu)
+        i2 = np.where(swap, iu, ju)
+        data = {
+            block_col: blocks[iu],
+            "id1": ids[i1],
+            "id2": ids[i2],
+        }
+        for c in carry_cols:
+            data[f"{c}1"] = carries[c][i1]
+            data[f"{c}2"] = carries[c][i2]
+        data["pairs_possible"] = np.concatenate(poss_parts)
+        small_frame = pd.DataFrame(data)
+    else:
+        small_frame = emit_block_pairs(
+            part.iloc[0:0], id_col=id_col, carry_cols=carry_cols,
+            block_col=block_col, max_pairs_per_block=max_pairs_per_block,
+            sort_col=sort_col)
+    if big_frames:
+        return pd.concat([small_frame, *big_frames], ignore_index=True)
+    return small_frame
 
 
 def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:

@@ -37,7 +37,8 @@ def linear_score_batch(batch: pa.Table) -> pa.Table:
 
 
 def linear_scoring_stage(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(linear_score_batch, batch_format="pyarrow")
+    return ds.map_batches(linear_score_batch, batch_format="pyarrow",
+                          batch_size=None)
 
 
 class TrainedScorer:

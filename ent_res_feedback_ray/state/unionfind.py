@@ -31,30 +31,39 @@ import ray.data
 
 def unionfind_numpy(src: np.ndarray, dst: np.ndarray,
                     nodes: np.ndarray | None = None) -> dict[int, int]:
-    """Union-find with path halving; returns {node: min_id_of_component}."""
+    """Vectorized connected components; returns {node: min_id_of_component}.
+
+    Index-space min-label propagation with pointer jumping — O((E+V)·log V)
+    numpy passes, no per-edge Python.  ``nodes`` is sorted by np.unique, so
+    the minimum *index* in a component corresponds to the minimum node id."""
     if nodes is None:
         nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(0, np.int64)
-    index = {int(v): i for i, v in enumerate(nodes)}
-    parent = np.arange(len(nodes), dtype=np.int64)
+    node_arr, label_arr = unionfind_labels(src, dst, nodes)
+    return {int(v): int(r) for v, r in zip(node_arr, label_arr)}
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
 
-    for a, b in zip(src, dst):
-        ra, rb = find(index[int(a)]), find(index[int(b)])
-        if ra != rb:
-            # union by smaller node id → component label is the min id
-            if nodes[ra] < nodes[rb]:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    out = {}
-    for v, i in index.items():
-        out[v] = int(nodes[find(i)])
-    return out
+def unionfind_labels(src: np.ndarray, dst: np.ndarray,
+                     nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Array-shaped variant of ``unionfind_numpy`` (no Python dict) —
+    returns (sorted nodes, component-min label per node)."""
+    nodes = np.unique(np.asarray(nodes, dtype=np.int64))
+    n = len(nodes)
+    if n == 0:
+        return nodes, nodes.copy()
+    labels = np.arange(n, dtype=np.int64)
+    if len(src):
+        si = np.searchsorted(nodes, np.asarray(src, dtype=np.int64))
+        di = np.searchsorted(nodes, np.asarray(dst, dtype=np.int64))
+        while True:
+            m = np.minimum(labels[si], labels[di])
+            before = labels.sum()
+            np.minimum.at(labels, si, m)
+            np.minimum.at(labels, di, m)
+            labels = np.minimum(labels, labels[labels])
+            labels = labels[labels]
+            if labels.sum() == before:
+                break
+    return nodes, nodes[labels]
 
 
 # --------------------------------------------------------------------------
@@ -172,17 +181,13 @@ def connected_components(
             dst_l.append(batch["dst"].to_numpy(dtype=np.int64))
         src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
         dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
-        extra = None
         if nodes is not None:
             extra = nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
             all_nodes = np.unique(np.concatenate([src, dst, extra]))
         else:
-            all_nodes = None
-        comp = unionfind_numpy(src, dst, nodes=all_nodes)
-        df = pd.DataFrame(
-            {"node": list(comp.keys()), "label": list(comp.values())},
-            dtype=np.int64,
-        )
-        df = df.sort_values("node").reset_index(drop=True)
+            all_nodes = np.unique(np.concatenate([src, dst])) if len(src) else \
+                np.empty(0, np.int64)
+        node_arr, label_arr = unionfind_labels(src, dst, all_nodes)
+        df = pd.DataFrame({"node": node_arr, "label": label_arr})
         return ray.data.from_pandas(df)
     return connected_components_distributed(edges, nodes=nodes, max_rounds=max_rounds)
