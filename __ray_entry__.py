@@ -41,18 +41,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        "er_snm_pairs": er.snm_pairs,
+        "er_time_split": er.time_split,
+        "er_b3_blocks_vs_lang": er.b3_blocks_vs_lang,
+        "er_hac_clusters": er.hac_clusters,
+        "er_scores_trained": er.scores_trained,
+        "er_incremental_clusters": er.incremental_clusters,
         # --- relational operator surface (SURVEY.md §2.8/§2.9/§2.10/§2.11) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "top_orders": relational.top_orders,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "high_value_purchases": relational.high_value_purchases,
+        "purchases_asof_signup": relational.purchases_asof_signup,
         # --- text analysis (task brief: training-data pipeline ops) ---
         "doc_token_counts": textstats.token_counts,
         "doc_quality": textstats.quality_scores,
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
+        "token_document_frequency": textstats.token_document_frequency,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup_groups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -79,6 +88,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": relational.ORDERS_BY_NATION_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_sliding": relational.EVENTS_SLIDING_SQL,
+        "purchases_asof_signup": relational.PURCHASES_ASOF_SQL,
+        "token_document_frequency": textstats.TOKEN_DF_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "high_value_purchases": relational.HIGH_VALUE_SQL,
         "doc_token_counts": textstats.TOKEN_COUNTS_SQL,

@@ -273,6 +273,10 @@ def oracle_queries() -> dict[str, str]:
         "er_uncertain_topk": f"{base},\n{_SCORE_CTE} "
                              "SELECT id1, id2, score, abs(score - 0.5) AS uncertainty "
                              "FROM scored ORDER BY abs(score - 0.5), id1, id2 LIMIT 20",
+        "er_snm_pairs": SNM_PAIRS_SQL_TMPL.format(pages=PAGES_CTE, norm=_NORM_CTE),
+        "er_time_split": TIME_SPLIT_SQL_TMPL.format(pages=PAGES_CTE),
+        "er_b3_blocks_vs_lang": B3_BLOCKS_SQL_TMPL.format(
+            pages=PAGES_CTE, norm=_NORM_CTE, blocks=_BLOCKS_CTE),
     }
 
 
@@ -423,3 +427,219 @@ def resolve_pages(
         "id_map": id_map,
         "counters": counters,
     }
+
+
+# ---------------------------------------------------------------------------
+# Additional ER operators: sorted-neighborhood, time split, HAC, trained
+# scorer, relational B³, incremental assignment
+# ---------------------------------------------------------------------------
+
+
+def snm_pairs(sf_dir: str, prefix_len: int = 8, window: int = 3) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking: partition by normalized-text prefix,
+    order by (norm_text, doc_id) within the partition, pair rows within a
+    rank window ``w`` (north_star's third blocking family; windowing analog
+    of stages/pairs.py's oversized-block fallback)."""
+    from ..stages.shuffleops import bucketed_group_apply
+
+    ds = pages_normalized(sf_dir).select_columns(["doc_id", "norm_text"])
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["snm_key"] = df["norm_text"].str.slice(0, prefix_len)
+        return df
+
+    keyed = ds.map_batches(_key, batch_format="pandas")
+
+    def _window_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["snm_key", "norm_text", "doc_id"],
+                                kind="mergesort").reset_index(drop=True)
+        codes, _ = pd.factorize(part["snm_key"], sort=False)
+        ids = part["doc_id"].to_numpy(np.int64)
+        keys = part["snm_key"].to_numpy(object)
+        i_parts, j_parts = [], []
+        for d in range(1, window + 1):
+            idx = np.arange(0, len(part) - d)
+            same = codes[idx] == codes[idx + d]
+            i_parts.append(idx[same])
+            j_parts.append(idx[same] + d)
+        iu = np.concatenate(i_parts) if i_parts else np.empty(0, np.int64)
+        ju = np.concatenate(j_parts) if j_parts else np.empty(0, np.int64)
+        a, b = ids[iu], ids[ju]
+        return pd.DataFrame({
+            "snm_key": keys[iu],
+            "id1": np.minimum(a, b),
+            "id2": np.maximum(a, b),
+        })
+
+    return bucketed_group_apply(keyed, "snm_key", _window_pairs)
+
+
+SNM_PAIRS_SQL_TMPL = """
+WITH {pages},
+{norm},
+b AS (
+  SELECT doc_id, norm_text, left(norm_text, 8) AS snm_key FROM norm
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY snm_key
+            ORDER BY norm_text, doc_id) AS rn
+  FROM b
+)
+SELECT a.snm_key, least(a.doc_id, x.doc_id) AS id1,
+       greatest(a.doc_id, x.doc_id) AS id2
+FROM r a JOIN r x
+  ON a.snm_key = x.snm_key AND x.rn - a.rn BETWEEN 1 AND 3
+""".strip()
+
+
+def time_split(sf_dir: str, train_fraction: float = 0.8) -> ray.data.Dataset:
+    """Time-ordered split: the earliest ``train_fraction`` of pages (by
+    warc_ts; unique per doc) → 'train', rest → 'test'.  Reference analog:
+    year-sort split (/root/reference/s2and/data.py:1016-1037).  The cutoff is
+    an exact order statistic via global sort + limit (at extreme scale a
+    distributed quantile sketch replaces the exact cutoff)."""
+    pages = load_pages(sf_dir).select_columns(["doc_id", "warc_ts"])
+    n = pages.count()
+    k = max(1, int(n * train_fraction))
+    cutoff = pages.sort("warc_ts").limit(k).to_pandas()["warc_ts"].max()
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "split": np.where(df["warc_ts"] <= cutoff, "train", "test"),
+        })
+
+    return pages.map_batches(_assign, batch_format="pandas")
+
+
+TIME_SPLIT_SQL_TMPL = """
+WITH {pages},
+ranked AS (
+  SELECT doc_id, warc_ts, row_number() OVER (ORDER BY warc_ts) AS rn,
+         count(*) OVER () AS n
+  FROM pages
+)
+SELECT doc_id,
+  CASE WHEN rn <= greatest(1, CAST(floor(n * 0.8) AS BIGINT))
+       THEN 'train' ELSE 'test' END AS split
+FROM ranked
+""".strip()
+
+
+def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
+    """Reference-parity per-block average-linkage HAC cut at eps
+    (rows-only: hierarchical agglomeration is not SQL-expressible)."""
+    from ..stages.clustering import hac_block_clustering
+    from ..stages.constraints import apply_constraints_to_distance
+
+    scored = scored_pairs(sf_dir)
+    with_dist = scored.map_batches(
+        apply_constraints_to_distance, batch_format="pyarrow")
+    clustered = hac_block_clustering(with_dist, eps=eps).to_pandas()
+    # singleton blocks never produce a pair row; they get label 0 in their
+    # own block (reference: singleton blocks → label 0, model.py:510-517)
+    blocks_df = blocked(sf_dir).select_columns(["doc_id", "block_key"]).to_pandas()
+    missing = blocks_df[~blocks_df["doc_id"].isin(clustered["id"])]
+    singletons = pd.DataFrame({
+        "id": missing["doc_id"],
+        "cluster_id": missing["block_key"].astype(str) + "_0",
+    })
+    out = pd.concat([clustered, singletons], ignore_index=True)
+    return ray.data.from_pandas(out.sort_values("id").reset_index(drop=True))
+
+
+def scores_trained(sf_dir: str) -> ray.data.Dataset:
+    """Trained-scorer path: fit the numpy logistic scorer on deterministic
+    self-labels (shingle_jaccard ≥ 0.5) over the candidate pairs, then serve
+    inference through the actor-pool stage (rows-only: model inference is
+    not SQL-expressible).  Demonstrates the reference's train-on-driver /
+    infer-distributed split (/root/reference/s2and/model.py:744-876)."""
+    from ..stages.features import FEATURE_COLS
+    from ..stages.scoring import trained_scoring_stage
+    from ..state.model import LogisticScorer
+
+    feats = featurize_stage(candidate_pairs(sf_dir)).materialize()
+    train = feats.select_columns(FEATURE_COLS).to_pandas()
+    y = (train["shingle_jaccard"].fillna(0.0) >= GOLD_JACCARD).to_numpy(np.float64)
+    X = train[FEATURE_COLS].to_numpy(np.float64)
+    model = LogisticScorer(seed=17).fit(X, y)
+    scored = trained_scoring_stage(feats, model)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.select(["block_key", "id1", "id2", "score"]).set_column(
+            3, "score", pc.round(b.column("score"), 6))
+
+    return scored.map_batches(_proj, batch_format="pyarrow")
+
+
+def b3_blocks_vs_lang(sf_dir: str) -> pd.DataFrame:
+    """Relational B³ with a full SQL twin: B³ of the key-block partition
+    against the language partition (both sides SQL-derivable, so the whole
+    metric pipeline — cells/sizes/joins/sums — is oracle-checked;
+    reference formulas /root/reference/s2and/eval.py:616-720)."""
+    b = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"]).to_pandas()
+    pred = b.rename(columns={"doc_id": "id", "block_key": "pred"})[["id", "pred"]]
+    gold = b.rename(columns={"doc_id": "id", "lang": "gold"})[["id", "gold"]]
+    p, r, f = b3_prf(pred, gold)
+    return pd.DataFrame({"b3_precision": [round(p, 6)], "b3_recall": [round(r, 6)],
+                         "b3_f1": [round(f, 6)]})
+
+
+B3_BLOCKS_SQL_TMPL = """
+WITH {pages},
+{norm},
+{blocks},
+cells AS (
+  SELECT block_key, lang, count(*) AS n_cell FROM blocks GROUP BY 1, 2
+),
+psize AS (SELECT block_key, count(*) AS n_pred FROM blocks GROUP BY 1),
+gsize AS (SELECT lang, count(*) AS n_gold FROM blocks GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM blocks),
+parts AS (
+  SELECT sum(CAST(c.n_cell AS DOUBLE) * c.n_cell / p.n_pred) AS prec_sum,
+         sum(CAST(c.n_cell AS DOUBLE) * c.n_cell / g.n_gold) AS rec_sum
+  FROM cells c JOIN psize p USING (block_key) JOIN gsize g USING (lang)
+)
+SELECT round(prec_sum / n, 6) AS b3_precision,
+       round(rec_sum / n, 6) AS b3_recall,
+       round(2 * (prec_sum / n) * (rec_sum / n) /
+             ((prec_sum / n) + (rec_sum / n)), 6) AS b3_f1
+FROM parts, tot
+""".strip()
+
+
+def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dataset:
+    """Incremental mode (rows-only): the latest ``new_fraction`` of docs (by
+    doc_id) arrive AFTER an initial clustering of the rest; they are assigned
+    to the frozen clusters via mean-score argmax, leftovers re-cluster
+    (reference /root/reference/s2and/model.py:533-741).  Output
+    (doc_id, cluster_id) for all docs."""
+    from ..stages.clustering import incremental_assign
+
+    scored = scored_pairs(sf_dir).materialize()
+    ids = all_doc_ids(sf_dir).to_pandas()
+    n = len(ids)
+    cut = ids["node"].sort_values().iloc[int(n * (1 - new_fraction))]
+    old_ids = ids[ids["node"] < cut]
+    new_ids = ids[ids["node"] >= cut]
+
+    def _old_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df["id1"] < cut) & (df["id2"] < cut)]
+
+    old_scored = scored.map_batches(_old_only, batch_format="pandas")
+    base = transitive_clustering(
+        old_scored,
+        all_ids=ray.data.from_pandas(old_ids.reset_index(drop=True)),
+        threshold=SCORE_THRESHOLD).to_pandas()
+
+    def _new_side(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df["id1"] >= cut) | (df["id2"] >= cut)]
+
+    new_scored = scored.map_batches(_new_side, batch_format="pandas")
+    combined = incremental_assign(new_scored, base, new_ids,
+                                  threshold=SCORE_THRESHOLD)
+    combined = combined.sort_values("node").reset_index(drop=True)
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": combined["node"], "cluster_id": combined["label"]}))

@@ -293,3 +293,101 @@ HIGH_VALUE_SQL = """
 SELECT event_id, user_id, event_type, value FROM events
 WHERE event_type = 'purchase' AND value > 100.0
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# As-of join (most recent prior event) — merge_asof per partition
+# ---------------------------------------------------------------------------
+
+def purchases_asof_signup(sf_dir: str) -> ray.data.Dataset:
+    """Each purchase joined to the user's most recent signup at-or-before it.
+
+    The reference has no range/as-of joins (SURVEY.md §2.8); this is the
+    engine's as-of operator: partition by key (groupby shuffle), sort by ts
+    inside the group, ``pd.merge_asof`` per partition.  Partitioning
+    assumption: one user's events fit one group."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        s = g[g["event_type"] == "signup"].sort_values("ts", kind="mergesort")
+        if len(p) == 0:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "user_id": pd.array([], dtype="int64"),
+                                 "signup_event_id": pd.array([], dtype="Int64")})
+        joined = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            s[["event_id", "ts"]].rename(columns={"event_id": "signup_event_id"}),
+            on="ts", direction="backward", allow_exact_matches=True)
+        out = joined[["event_id", "user_id", "signup_event_id"]].copy()
+        out["signup_event_id"] = out["signup_event_id"].astype("Int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+PURCHASES_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT event_id AS signup_event_id, user_id, ts FROM events
+  WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, s.signup_event_id
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows: 1h windows every 30min — flat_map to 2 windows
+# ---------------------------------------------------------------------------
+
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window aggregate (size 1h, hop 30min): each event lands in
+    exactly two windows (emitted by a vectorized explode), then the window
+    aggregate is a grouped sum — window assignment is a derived column, the
+    window itself is the shuffle (no watermarks; batch semantics,
+    SURVEY.md §2.11).  Window key = epoch seconds (timezone-free)."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        epoch = df["ts"].astype("int64") // 1_000_000  # us → s
+        w1 = (epoch // 1800) * 1800
+        w2 = w1 - 1800
+        rep = pd.concat([
+            pd.DataFrame({"window_start_epoch": w1, "event_type": df["event_type"],
+                          "value": df["value"]}),
+            pd.DataFrame({"window_start_epoch": w2, "event_type": df["event_type"],
+                          "value": df["value"]}),
+        ], ignore_index=True)
+        return rep.groupby(["window_start_epoch", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    partials = ev.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+    out = bucketed_aggregate(
+        partials, ["window_start_epoch", "event_type"],
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    return out.map_batches(
+        lambda df: df.assign(sum_value=np.round(df["sum_value"], 2)),
+        batch_format="pandas")
+
+
+EVENTS_SLIDING_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS w1, event_type, value
+  FROM events
+),
+exploded AS (
+  SELECT w1 AS window_start_epoch, event_type, value FROM e
+  UNION ALL
+  SELECT w1 - 1800 AS window_start_epoch, event_type, value FROM e
+)
+SELECT window_start_epoch, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM exploded GROUP BY 1, 2
+""".strip()

@@ -145,3 +145,82 @@ def transitive_clustering(
     that never appeared in an edge."""
     edges = edges_from_scores(scored_pairs, threshold=threshold)
     return connected_components(edges, nodes=all_ids, **cc_kwargs)
+
+
+# --------------------------------------------------------------------------
+# Incremental clustering: assign new mentions to frozen clusters
+# --------------------------------------------------------------------------
+
+def incremental_assign(
+    scored_new_pairs: ray.data.Dataset,
+    existing: pd.DataFrame,
+    new_ids: pd.DataFrame,
+    threshold: float = 0.5,
+    score_col: str = "score",
+) -> pd.DataFrame:
+    """Reference ``Clusterer.predict_incremental``
+    (/root/reference/s2and/model.py:533-741), Ray-shaped:
+
+    - ``scored_new_pairs``: scored candidate pairs where at least one side is
+      a new mention (id1/id2 may be old or new);
+    - per (new_id, existing_cluster): MEAN score over that cluster's scored
+      members; assign the new mention to the argmax cluster if its mean
+      score ≥ threshold (reference: average distance < eps);
+    - leftovers (no qualifying cluster) are clustered among THEMSELVES by
+      transitive closure over their mutual edges, with fresh cluster ids
+      (reference: re-cluster leftovers path, model.py:698-741);
+    - disallow constraints suppress edges (constraint column respected).
+
+    ``existing``: DataFrame (node, label).  ``new_ids``: DataFrame (node,).
+    Returns the combined assignment DataFrame (node, label) — old
+    assignments are FROZEN (never change), per reference semantics.
+
+    The aggregation runs on the driver over the (bounded) scored candidate
+    set; at scale the mean-score-per-cluster groupby becomes a
+    bucketed_aggregate and the argmax a second one — same shape as the
+    lineage counters.
+    """
+    old_label = dict(zip(existing["node"], existing["label"]))
+    new_set = set(new_ids["node"].tolist())
+    sp = scored_new_pairs.to_pandas()
+    if "constraint" in sp.columns:
+        cons = sp["constraint"].to_numpy(dtype=np.float64)
+        keep = np.isnan(cons) | (cons == 0.0)
+        sp = sp[keep]
+
+    # direction: candidate rows (new_id, old_id) in either order
+    rows = []
+    for i1, i2, s in zip(sp["id1"], sp["id2"], sp[score_col]):
+        in1, in2 = i1 in new_set, i2 in new_set
+        if in1 and not in2 and i2 in old_label:
+            rows.append((i1, old_label[i2], s))
+        elif in2 and not in1 and i1 in old_label:
+            rows.append((i2, old_label[i1], s))
+    assigned: dict = {}
+    if rows:
+        cand = pd.DataFrame(rows, columns=["new_id", "cluster", "score"])
+        means = cand.groupby(["new_id", "cluster"], as_index=False)["score"].mean()
+        means = means.sort_values(["new_id", "score", "cluster"],
+                                  ascending=[True, False, True], kind="mergesort")
+        best = means.groupby("new_id", as_index=False).head(1)
+        ok = best[best["score"] >= threshold]
+        assigned = dict(zip(ok["new_id"], ok["cluster"]))
+
+    # leftovers: transitive closure among new-new edges
+    leftovers = sorted(new_set - set(assigned))
+    nn = sp[(sp["id1"].isin(leftovers)) & (sp["id2"].isin(leftovers))
+            & (sp[score_col] >= threshold)]
+    from ..state.unionfind import unionfind_labels
+
+    nodes = np.array(leftovers, dtype=np.int64)
+    n_arr, l_arr = unionfind_labels(
+        nn["id1"].to_numpy(np.int64), nn["id2"].to_numpy(np.int64), nodes)
+    out = existing.copy()
+    add = pd.DataFrame({
+        "node": np.concatenate([np.array(sorted(assigned), dtype=np.int64), n_arr])
+        if assigned else n_arr,
+        "label": np.concatenate([
+            np.array([assigned[k] for k in sorted(assigned)], dtype=np.int64),
+            l_arr]) if assigned else l_arr,
+    })
+    return pd.concat([out, add], ignore_index=True)

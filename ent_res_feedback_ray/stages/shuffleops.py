@@ -165,14 +165,23 @@ def attach_attrs(
     # other side's fields; placeholders never survive the merge.
     import pyarrow as _pa
 
-    def _placeholder_for(arrow_type):
-        if _pa.types.is_integer(arrow_type):
-            return np.int64(0)
-        if _pa.types.is_floating(arrow_type):
-            return np.float64(0.0)
-        if _pa.types.is_boolean(arrow_type):
-            return False
-        return ""
+    def _placeholder_for(t):
+        # Ray schemas surface arrow DataTypes, numpy dtypes, or Python types
+        # depending on the dataset's origin; normalize all three.
+        if isinstance(t, _pa.DataType):
+            if _pa.types.is_integer(t):
+                return np.int64(0)
+            if _pa.types.is_floating(t):
+                return np.float64(0.0)
+            if _pa.types.is_boolean(t):
+                return False
+            return ""
+        try:
+            kind = np.dtype(t).kind
+        except TypeError:
+            return ""
+        return {"i": np.int64(0), "u": np.int64(0), "f": np.float64(0.0),
+                "b": False}.get(kind, "")
 
     docs_schema = docs.schema()
     doc_placeholder = {

@@ -156,3 +156,42 @@ SELECT doc_id,
   md5(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """.strip()
+
+
+def token_document_frequency(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level token document frequency — the name-counts analog
+    (reference NameCounts, /root/reference/s2and/data.py:451-472: corpus
+    frequencies built once, then broadcast).  Explode distinct tokens per doc
+    (vectorized), then a high-cardinality bucketed count."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        toks: list[str] = []
+        for s in norm:
+            if s:
+                toks.extend(set(s.split()))
+        # partial count within the batch
+        ser = pd.Series(toks, dtype=object)
+        g = ser.value_counts()
+        return pd.DataFrame({"token": g.index.to_numpy(dtype=object),
+                             "df": g.to_numpy(dtype=np.int64)})
+
+    partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    return bucketed_aggregate(partials, "token", df=("df", "sum"))
+
+
+TOKEN_DF_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(n, ' '))) AS token
+  FROM norm WHERE n <> ''
+)
+SELECT token, count(*) AS df FROM tok GROUP BY token
+""".strip()
