@@ -372,25 +372,41 @@ def resolve_pages(
         # cheaper than the extra wide op (counters then count pair-instances)
         pairs = dedup_pairs(pairs)
 
-    from ..stages.shuffleops import attach_attrs
-
-    pairs = attach_attrs(
-        pairs, norm.select_columns(["doc_id", "norm_text", "lang"]),
-        id_col="doc_id", attr_cols=["norm_text", "lang"])
-    feats = featurize_stage(pairs)
-    if model is None:
-        scored = linear_scoring_stage(feats)
-    else:
-        scored = trained_scoring_stage(feats, model,
-                                       concurrency=scorer_concurrency)
-    scored = constraint_stage(scored, seeds=seeds)
-    # project the (wide) text payload away before materializing — everything
-    # downstream (edges, counters, uncertainty selection) needs only ids,
-    # block key, features, score, constraint
     keep = ["block_key", "id1", "id2", "pairs_possible",
             "token_jaccard", "shingle_jaccard", "lev_sim", "len_ratio",
             "lang_match", "score", "constraint"]
-    scored = scored.select_columns(keep).materialize()
+    n_docs = norm.count()
+    if n_docs <= 2_000_000:
+        # HOT PATH: featurize against broadcast doc signatures (sorted hash
+        # arrays, zero-copy plasma views) — the pair stream stays integer-
+        # only; no Python strings, minimal memory bandwidth (the thing that
+        # stops core-scaling).  Values bit-identical to the string path.
+        from ..stages.fastfeatures import build_doc_signatures, featurize_and_score_fast
+
+        sig = build_doc_signatures(norm)
+        sig_ref = _ray.put(sig)
+        scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds)
+        if model is not None:
+            scored = trained_scoring_stage(
+                scored.drop_columns(["score"]), model,
+                concurrency=scorer_concurrency)
+        scored = scored.select_columns(keep).materialize()
+    else:
+        # dimension-scale path: join attributes onto pairs, string featurizer
+        from ..stages.shuffleops import attach_attrs
+
+        wide = attach_attrs(
+            pairs, norm.select_columns(["doc_id", "norm_text", "lang"]),
+            id_col="doc_id", attr_cols=["norm_text", "lang"])
+        feats = featurize_stage(wide)
+        if model is None:
+            scored = linear_scoring_stage(feats)
+        else:
+            scored = trained_scoring_stage(feats, model,
+                                           concurrency=scorer_concurrency)
+        scored = constraint_stage(scored, seeds=seeds)
+        # project the (wide) text payload away before materializing
+        scored = scored.select_columns(keep).materialize()
 
     all_ids = norm.map_batches(
         lambda df: pd.DataFrame({"node": df["doc_id"]}), batch_format="pandas")
