@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_hac_clusters": er.hac_clusters,
         "er_scores_trained": er.scores_trained,
         "er_incremental_clusters": er.incremental_clusters,
+        "er_feedback_metrics": er.feedback_metrics,
         # --- relational operator surface (SURVEY.md §2.8/§2.9/§2.10/§2.11) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,

@@ -659,3 +659,38 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
     combined = combined.sort_values("node").reset_index(drop=True)
     return ray.data.from_pandas(
         pd.DataFrame({"doc_id": combined["node"], "cluster_id": combined["label"]}))
+
+
+def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> pd.DataFrame:
+    """The namesake feedback loop as a driver-visible query (rows-only):
+    run ``n_rounds`` checkpointed rounds over the derived pages table with
+    the brute-force shingle components as gold, return per-round metrics
+    (round, n_labels, pair_f1, b3_f1).  Deterministic; checkpoints live
+    under /tmp keyed by the input dir, so re-runs resume instantly."""
+    import hashlib as _hl
+    import os as _os
+
+    from .feedback import run_feedback_rounds
+
+    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    work = f"/tmp/erf_feedback_{tag}"
+    _os.makedirs(work, exist_ok=True)
+    pages_path = _os.path.join(work, "pages.parquet")
+    gold_path = _os.path.join(work, "gold.parquet")
+    if not (_os.path.exists(pages_path) and _os.path.exists(gold_path)):
+        pages_df = load_pages(sf_dir).to_pandas()
+        gold_assign = _gold_assignments(sf_dir).to_pandas()
+        gold_df = pages_df[["url", "doc_id"]].merge(
+            gold_assign.rename(columns={"node": "doc_id",
+                                        "label": "gold_entity_id"}),
+            on="doc_id")[["url", "gold_entity_id"]]
+        pages_df.drop(columns=["doc_id"]).to_parquet(pages_path, index=False)
+        gold_df.to_parquet(gold_path, index=False)
+    history = run_feedback_rounds(
+        pages_path, gold_path, _os.path.join(work, "rounds"),
+        n_rounds=n_rounds, k_per_round=k_per_round,
+        resolve_kwargs={"use_key_blocks": True, "use_lsh": True})
+    out = pd.DataFrame(history)[["round", "n_labels", "pair_f1", "b3_f1"]]
+    out["pair_f1"] = np.round(out["pair_f1"], 6)
+    out["b3_f1"] = np.round(out["b3_f1"], 6)
+    return out

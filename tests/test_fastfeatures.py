@@ -1,0 +1,83 @@
+"""Hot-path featurizer (broadcast doc signatures) must agree with the
+string-path spec featurizer bit-for-bit (modulo 64-bit hash collisions)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ent_res_feedback_ray.stages.fastfeatures import (
+    build_doc_signatures,
+    featurize_and_score_fast,
+)
+from ent_res_feedback_ray.stages.features import FEATURE_COLS, featurize_pairs_batch
+from ent_res_feedback_ray.stages.scoring import linear_score_batch
+
+
+def _docs():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(60):
+        n = int(rng.integers(0, 50))
+        text = " ".join(rng.choice(words, size=n)) if n else ""
+        rows.append({"doc_id": d, "url": f"u{d}", "norm_text": text,
+                     "lang": "en" if d % 3 else "fr"})
+    return pd.DataFrame(rows)
+
+
+def test_fast_matches_string_path():
+    docs = _docs()
+    norm_ds = ray.data.from_pandas(docs)
+    sig = build_doc_signatures(norm_ds)
+    sig_ref = ray.put(sig)
+
+    rng = np.random.default_rng(1)
+    id1 = rng.integers(0, 60, 300)
+    id2 = rng.integers(0, 60, 300)
+    keep = id1 != id2
+    pairs = pd.DataFrame({
+        "block_key": "b",
+        "id1": np.minimum(id1, id2)[keep],
+        "id2": np.maximum(id1, id2)[keep],
+        "pairs_possible": np.int64(1),
+    })
+    fast = featurize_and_score_fast(
+        ray.data.from_pandas(pairs), sig_ref).to_pandas()
+
+    # string-path spec on the same pairs
+    lk = docs.set_index("doc_id")
+    wide = pairs.copy()
+    for side in ("1", "2"):
+        wide[f"norm_text{side}"] = lk.loc[wide[f"id{side}"], "norm_text"].to_numpy()
+        wide[f"lang{side}"] = lk.loc[wide[f"id{side}"], "lang"].to_numpy()
+    spec = linear_score_batch(
+        featurize_pairs_batch(pa.Table.from_pandas(wide))).to_pandas()
+
+    fast = fast.sort_values(["id1", "id2"]).reset_index(drop=True)
+    spec = spec.sort_values(["id1", "id2"]).reset_index(drop=True)
+    for c in [*FEATURE_COLS, "score"]:
+        a = fast[c].to_numpy(dtype=np.float64)
+        b = spec[c].to_numpy(dtype=np.float64)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (c, np.nonzero(~same)[0][:5])
+
+
+def test_fast_constraints():
+    docs = _docs()
+    # two docs with identical nonempty text and lang → require
+    docs.loc[1, "norm_text"] = docs.loc[0, "norm_text"] = "same text here ok"
+    docs.loc[1, "lang"] = docs.loc[0, "lang"] = "en"
+    sig_ref = ray.put(build_doc_signatures(ray.data.from_pandas(docs)))
+    pairs = pd.DataFrame({
+        "block_key": ["b"] * 3,
+        "id1": np.array([0, 0, 3], dtype=np.int64),
+        "id2": np.array([1, 2, 4], dtype=np.int64),
+        "pairs_possible": np.int64(1),
+    })
+    out = featurize_and_score_fast(
+        ray.data.from_pandas(pairs), sig_ref,
+        seeds={(3, 4): "disallow"}).to_pandas().set_index(["id1", "id2"])
+    assert out.loc[(0, 1), "constraint"] == 0.0       # exact text → require
+    assert out.loc[(3, 4), "constraint"] == 1.0e4     # seed disallow wins
