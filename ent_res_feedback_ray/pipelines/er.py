@@ -672,7 +672,9 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> 
 
     from .feedback import run_feedback_rounds
 
-    tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from .. import __version__
+
+    tag = _hl.md5(f"{_os.path.abspath(sf_dir)}|{__version__}".encode()).hexdigest()[:10]
     work = f"/tmp/erf_feedback_{tag}"
     _os.makedirs(work, exist_ok=True)
     pages_path = _os.path.join(work, "pages.parquet")

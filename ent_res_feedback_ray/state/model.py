@@ -97,3 +97,25 @@ def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     if n_pos == 0 or n_neg == 0:
         return float("nan")
     return float((ranks[y_true == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+class VotingScorer:
+    """Soft-voting ensemble of fitted scorers (reference ``VotingClassifier``
+    prefit-soft mode, /root/reference/s2and/model.py:879-981, and the
+    nameless-classifier average, model.py:286-292): predict_proba = mean of
+    member probabilities.  Serves through the same actor-pool stage as a
+    single scorer (duck-typed predict_proba / nan_fill)."""
+
+    def __init__(self, models: list, weights: list[float] | None = None):
+        assert models
+        self.models = models
+        self.weights = np.asarray(weights if weights is not None
+                                  else [1.0] * len(models), dtype=np.float64)
+        self.weights = self.weights / self.weights.sum()
+        self.nan_fill = models[0].nan_fill
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(X), dtype=np.float64)
+        for w, m in zip(self.weights, self.models):
+            out += w * m.predict_proba(X)
+        return out

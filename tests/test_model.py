@@ -54,3 +54,16 @@ def test_auroc_known_values():
     assert auroc(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
     assert auroc(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
     assert auroc(y, np.array([0.5, 0.5, 0.5, 0.5])) == pytest.approx(0.5)
+
+
+def test_voting_scorer():
+    from ent_res_feedback_ray.state.model import VotingScorer
+
+    X, y = _toy()
+    m1 = LogisticScorer(seed=1).fit(X, y)
+    m2 = LogisticScorer(seed=2, l2=1e-1).fit(X, y)
+    ens = VotingScorer([m1, m2])
+    p = ens.predict_proba(X)
+    expected = (m1.predict_proba(X) + m2.predict_proba(X)) / 2
+    assert np.allclose(p, expected)
+    assert auroc(y, p) > 0.9
