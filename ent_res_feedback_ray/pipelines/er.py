@@ -343,29 +343,30 @@ def resolve_pages(
     # this scale, bucketed cogroup join at dimension scale).  Carrying the
     # full text through a 16-band explode would amplify shuffle volume 16×
     # (SURVEY.md §7.4 "very wide pair rows").
-    pair_sources = []
+    # both blocking families emit (doc_id, block_key) rows into ONE unified
+    # shuffle — key blocks keep their string key, LSH bands get a "band_…"
+    # prefix — so pair generation pays a single sort barrier
+    key_sources = []
+    n_sources = int(use_key_blocks) + int(use_lsh)
     if use_key_blocks:
-        keyed = key_blocking_stage(norm).select_columns(["doc_id", "block_key"])
-        pair_sources.append(pairs_from_blocks(
-            keyed, block_col="block_key", id_col="doc_id", carry_cols=[],
-            max_pairs_per_block=max_pairs_per_block))
+        key_sources.append(
+            key_blocking_stage(norm).select_columns(["doc_id", "block_key"]))
     if use_lsh:
         mh = minhash_stage(norm.select_columns(["doc_id", "norm_text"]),
                            num_perm=num_perm, seed=42)
         bands = band_explode_stage(mh, num_bands=num_bands, keep_cols=["doc_id"])
-        lsh_pairs = pairs_from_blocks(
-            bands, block_col="band_key", id_col="doc_id", carry_cols=[],
-            max_pairs_per_block=max_pairs_per_block)
-        lsh_pairs = lsh_pairs.map_batches(
-            lambda df: df.assign(block_key="band_" + df["band_key"].astype(str))
-                        .drop(columns=["band_key"]),
-            batch_format="pandas")
-        pair_sources.append(lsh_pairs)
-
-    pairs = pair_sources[0]
-    for extra in pair_sources[1:]:
-        pairs = pairs.union(extra)
-    if dedup and len(pair_sources) > 1:
+        key_sources.append(bands.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "block_key": "band_" + df["band_key"].astype(str)}),
+            batch_format="pandas"))
+    block_rows = key_sources[0]
+    for extra in key_sources[1:]:
+        block_rows = block_rows.union(extra)
+    pairs = pairs_from_blocks(
+        block_rows, block_col="block_key", id_col="doc_id", carry_cols=[],
+        max_pairs_per_block=max_pairs_per_block)
+    if dedup and n_sources > 1:
         # optional: scoring is idempotent and connected components are
         # insensitive to duplicate edges, so the default path skips the
         # distinct shuffle entirely and re-scores dup candidates instead —
