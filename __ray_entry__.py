@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_scores_trained": er.scores_trained,
         "er_incremental_clusters": er.incremental_clusters,
         "er_feedback_metrics": er.feedback_metrics,
+        "er_b3_by_lang_facet": er.b3_by_lang_facet,
         # --- relational operator surface (SURVEY.md §2.8/§2.9/§2.10/§2.11) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,

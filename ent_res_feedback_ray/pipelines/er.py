@@ -697,3 +697,23 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> 
     out["pair_f1"] = np.round(out["pair_f1"], 6)
     out["b3_f1"] = np.round(out["b3_f1"], 6)
     return out
+
+
+def b3_by_lang_facet(sf_dir: str) -> pd.DataFrame:
+    """Facet evaluation analog (reference ``facet_eval``, B³ broken down by
+    facet columns, /root/reference/s2and/eval.py:196-427): per-language B³ of
+    the key-block partition vs the brute-force gold components, one row per
+    facet value.  Rows-only (gold side is the non-SQL brute-force graph)."""
+    b = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"]).to_pandas()
+    gold = _gold_assignments(sf_dir).to_pandas().rename(
+        columns={"node": "doc_id", "label": "gold"})
+    j = b.merge(gold, on="doc_id")
+    rows = []
+    for lang, grp in j.groupby("lang", sort=True):
+        pred = grp.rename(columns={"doc_id": "id", "block_key": "pred"})[["id", "pred"]]
+        g = grp.rename(columns={"doc_id": "id"})[["id", "gold"]]
+        p, r, f = b3_prf(pred, g)
+        rows.append({"lang": lang, "n_docs": len(grp),
+                     "b3_precision": round(p, 6), "b3_recall": round(r, 6),
+                     "b3_f1": round(f, 6)})
+    return pd.DataFrame(rows)
