@@ -136,11 +136,21 @@ def uncertain_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     return out.select_columns(["id1", "id2", "score", "uncertainty"])
 
 
-def _gold_assignments(sf_dir: str) -> ray.data.Dataset:
+def _gold_assignments(sf_dir: str, max_gold_pairs: int = 50_000_000) -> ray.data.Dataset:
     """Brute-force 'gold': connected components of the exact shingle-Jaccard
     ≥ 0.5 graph over ALL pairs (no blocking) — the oracle the blocked
-    pipeline is judged against (recall losses show up in er_quality)."""
+    pipeline is judged against (recall losses show up in er_quality).
+
+    Fails LOUDLY when n·(n−1)/2 exceeds ``max_gold_pairs`` instead of letting
+    ``emit_block_pairs`` silently switch to windowing — a windowed "gold"
+    would under-count edges and corrupt every metric derived from it."""
     ds = pages_normalized(sf_dir).select_columns(["doc_id", "norm_text", "lang"])
+    n = ds.count()
+    possible = n * (n - 1) // 2
+    if possible > max_gold_pairs:
+        raise ValueError(
+            f"brute-force gold needs {possible} pairs for {n} docs, over the "
+            f"{max_gold_pairs} cap — gold must stay exhaustive (no windowing)")
 
     def _const(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -150,7 +160,7 @@ def _gold_assignments(sf_dir: str) -> ray.data.Dataset:
     one = ds.map_batches(_const, batch_format="pandas")
     pairs = pairs_from_blocks(
         one, block_col="all_key", id_col="doc_id",
-        carry_cols=["norm_text", "lang"], max_pairs_per_block=10_000_000,
+        carry_cols=["norm_text", "lang"], max_pairs_per_block=max_gold_pairs,
     )
     feats = featurize_stage(pairs)
 
@@ -414,13 +424,20 @@ def resolve_pages(
     assignments = transitive_clustering(scored, all_ids=all_ids,
                                         threshold=threshold)
 
-    # north-rule lineage counters, per block
+    # north-rule lineage counters, per block.  pairs_possible is the exact
+    # n·(n−1)/2 of the block (constant per block, carried on every pair row);
+    # pairs_generated is what survived the cap/window — the gap between the
+    # two IS the truncation log ("log what was dropped").  With multiple
+    # blocking families and dedup=False, duplicate candidates count as
+    # pair-instances in pairs_generated/scored (documented above).
     def _counter_rows(b: pa.Table) -> pd.DataFrame:
-        df = b.select(["block_key", "score", "constraint"]).to_pandas()
+        df = b.select(["block_key", "pairs_possible", "score",
+                       "constraint"]).to_pandas()
         s = df["score"].to_numpy(dtype=np.float64)
         cons = df["constraint"].to_numpy(dtype=np.float64)
         keep = np.where(np.isnan(cons), s >= threshold, cons == 0.0)
         g = df.assign(kept=keep).groupby("block_key", as_index=False).agg(
+            pairs_possible=("pairs_possible", "max"),
             pairs_generated=("score", "size"),
             pairs_scored=("score", "size"),
             edges_kept=("kept", "sum"),
@@ -433,6 +450,7 @@ def resolve_pages(
     counter_partials = scored.map_batches(_counter_rows, batch_format="pyarrow")
     counters = bucketed_aggregate(
         counter_partials, "block_key",
+        pairs_possible=("pairs_possible", "max"),
         pairs_generated=("pairs_generated", "sum"),
         pairs_scored=("pairs_scored", "sum"),
         edges_kept=("edges_kept", "sum"),
@@ -514,17 +532,23 @@ def time_split(sf_dir: str, train_fraction: float = 0.8) -> ray.data.Dataset:
     """Time-ordered split: the earliest ``train_fraction`` of pages (by
     warc_ts; unique per doc) → 'train', rest → 'test'.  Reference analog:
     year-sort split (/root/reference/s2and/data.py:1016-1037).  The cutoff is
-    an exact order statistic via global sort + limit (at extreme scale a
+    an exact order statistic via sort → limit(k) → Max AGGREGATE — only the
+    scalar cutoff reaches the driver, never the k rows (at extreme scale a
     distributed quantile sketch replaces the exact cutoff)."""
     pages = load_pages(sf_dir).select_columns(["doc_id", "warc_ts"])
     n = pages.count()
     k = max(1, int(n * train_fraction))
-    cutoff = pages.sort("warc_ts").limit(k).to_pandas()["warc_ts"].max()
+    # epoch µs keeps the Max aggregator on a plain int64 column
+    epochs = pages.map_batches(
+        lambda df: pd.DataFrame({"ts_us": df["warc_ts"].astype("int64")}),
+        batch_format="pandas")
+    cutoff_us = epochs.sort("ts_us").limit(k).max("ts_us")
 
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "split": np.where(df["warc_ts"] <= cutoff, "train", "test"),
+            "split": np.where(df["warc_ts"].astype("int64") <= cutoff_us,
+                              "train", "test"),
         })
 
     return pages.map_batches(_assign, batch_format="pandas")
@@ -675,7 +699,13 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> 
 
     from .. import __version__
 
-    tag = _hl.md5(f"{_os.path.abspath(sf_dir)}|{__version__}".encode()).hexdigest()[:10]
+    # content fingerprint: path + package version + source file size/mtime —
+    # regenerating the parquet at sf_dir invalidates cached pages/gold/rounds
+    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(doc_path)
+    tag = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|{__version__}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:10]
     work = f"/tmp/erf_feedback_{tag}"
     _os.makedirs(work, exist_ok=True)
     pages_path = _os.path.join(work, "pages.parquet")

@@ -314,13 +314,15 @@ def purchases_asof_signup(sf_dir: str) -> ray.data.Dataset:
         if len(p) == 0:
             return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
                                  "user_id": pd.array([], dtype="int64"),
-                                 "signup_event_id": pd.array([], dtype="Int64")})
+                                 "signup_event_id": pd.array([], dtype="float64")})
         joined = pd.merge_asof(
             p[["event_id", "user_id", "ts"]],
             s[["event_id", "ts"]].rename(columns={"event_id": "signup_event_id"}),
             on="ts", direction="backward", allow_exact_matches=True)
         out = joined[["event_id", "user_id", "signup_event_id"]].copy()
-        out["signup_event_id"] = out["signup_event_id"].astype("Int64")
+        # float64 + NaN for misses: matches the SQL twin's CAST(... AS DOUBLE)
+        # so the driver's canonical hash sees identical dtypes on both sides.
+        out["signup_event_id"] = out["signup_event_id"].astype("float64")
         return out
 
     return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
@@ -334,7 +336,7 @@ signups AS (
   SELECT event_id AS signup_event_id, user_id, ts FROM events
   WHERE event_type = 'signup'
 )
-SELECT p.event_id, p.user_id, s.signup_event_id
+SELECT p.event_id, p.user_id, CAST(s.signup_event_id AS DOUBLE) AS signup_event_id
 FROM purchases p ASOF LEFT JOIN signups s
   ON p.user_id = s.user_id AND s.ts <= p.ts
 """.strip()

@@ -29,41 +29,6 @@ DISALLOW = 1.0e4
 REQUIRE = 0.0
 
 
-class ConstraintStage:
-    """Actor-pool stage holding the broadcast seed-pair dict."""
-
-    def __init__(self, seeds_ref=None, lang_rule: bool = True,
-                 exact_text_rule: bool = True):
-        # seeds: dict[(id1, id2)] -> "require" | "disallow", canonical id1<id2
-        self.seeds = ray.get(seeds_ref) if seeds_ref is not None else {}
-        self.lang_rule = lang_rule
-        self.exact_text_rule = exact_text_rule
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        id1 = batch.column("id1").to_pylist()
-        id2 = batch.column("id2").to_pylist()
-        lang1 = batch.column("lang1").to_pylist()
-        lang2 = batch.column("lang2").to_pylist()
-        norm1 = batch.column("norm_text1").to_pylist()
-        norm2 = batch.column("norm_text2").to_pylist()
-        out = np.full(n, np.nan)
-        for i in range(n):
-            seed = self.seeds.get((id1[i], id2[i]))
-            if seed == "require":
-                out[i] = REQUIRE
-            elif seed == "disallow":
-                out[i] = DISALLOW
-            elif self.exact_text_rule and norm1[i] and norm1[i] == norm2[i] \
-                    and lang1[i] == lang2[i]:
-                out[i] = REQUIRE
-            elif self.lang_rule and lang1[i] != lang2[i]:
-                out[i] = DISALLOW
-        return batch.append_column(
-            "constraint", pa.array(out, pa.float64(), from_pandas=True)
-        )
-
-
 def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
                      lang_rule: bool = True,
                      exact_text_rule: bool = True) -> ray.data.Dataset:
