@@ -15,4 +15,27 @@ no reference code is copied (the reference is a single-node multiprocessing
 engine; this is an idiomatic Ray Data design).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _tune_malloc() -> None:
+    """Keep large freed buffers in the malloc arena instead of returning them
+    to the OS (glibc mmap's >128KB allocations and munmaps them on free, so
+    every fresh numpy temporary re-faults its pages — measured ~300µs/page on
+    virtualized hosts, i.e. ~1.2s per 14MB temporary).  Raising
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes batch-sized temporaries reuse
+    already-faulted memory; RSS stays bounded by the per-worker peak.
+
+    Runs at import time, so every Ray worker that deserializes this
+    package's functions gets the tuning."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
+
+_tune_malloc()

@@ -302,3 +302,80 @@ def levenshtein_batch_myers_encoded(A: np.ndarray, la: np.ndarray,
     # pairs with empty pattern: distance = len(text)
     out = np.where(la == 0, lb, score)
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Batch Jaro-Winkler over encoded char matrices — vectorized across pairs
+# ---------------------------------------------------------------------------
+
+def jaro_batch_encoded(A: np.ndarray, la: np.ndarray,
+                       B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Jaro similarity for ALL pairs at once over 0-padded uint32 char
+    matrices (see ``encode_utf32``).  The greedy match loop runs over the
+    (short, ≤ matrix width) pattern positions; every step is vectorized
+    across pairs.  Bit-identical to the scalar ``jaro`` (same IEEE op
+    order; unit-tested parity)."""
+    m, L = A.shape
+    la = la.astype(np.int64)
+    lb = lb.astype(np.int64)
+    if m == 0:
+        return np.empty(0, np.float64)
+    pos = np.arange(L)
+    valid_a = pos[None, :] < la[:, None]
+    eq_all = (la == lb) & np.all(np.where(valid_a, A == B, True), axis=1)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    aflag = np.zeros((m, L), dtype=bool)
+    bflag = np.zeros((m, L), dtype=bool)
+    rows = np.arange(m)
+    for i in range(L):
+        act = i < la
+        if not act.any():
+            break
+        lo = np.maximum(0, i - w)
+        hi = np.minimum(lb, i + w + 1)
+        cand = ((pos[None, :] >= lo[:, None]) & (pos[None, :] < hi[:, None])
+                & ~bflag & (B == A[:, i:i + 1]) & act[:, None])
+        first = cand.argmax(axis=1)
+        found = cand[rows, first]
+        bflag[rows[found], first[found]] = True
+        aflag[found, i] = True
+    matches = aflag.sum(axis=1).astype(np.int64)
+    # transpositions: matched chars of each side compacted in order
+    arank = np.cumsum(aflag, axis=1) - 1
+    brank = np.cumsum(bflag, axis=1) - 1
+    MA = np.zeros((m, L), dtype=A.dtype)
+    MB = np.zeros((m, L), dtype=A.dtype)
+    ra, _ = np.nonzero(aflag)
+    MA[ra, arank[aflag]] = A[aflag]
+    rb, _ = np.nonzero(bflag)
+    MB[rb, brank[bflag]] = B[bflag]
+    t = (((MA != MB) & (pos[None, :] < matches[:, None])).sum(axis=1) // 2)
+    mf = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+    j = np.where(matches > 0, j, 0.0)
+    return np.where(eq_all, 1.0, j)
+
+
+def jaro_winkler_batch_encoded(A: np.ndarray, la: np.ndarray,
+                               B: np.ndarray, lb: np.ndarray,
+                               prefix_weight: float = 0.1,
+                               boost_threshold: float = 0.7,
+                               max_prefix: int = 4) -> np.ndarray:
+    """Vectorized Jaro-Winkler (DuckDB ``jaro_winkler_similarity`` defaults);
+    bit-identical to the scalar ``jaro_winkler``."""
+    j = jaro_batch_encoded(A, la, B, lb)
+    L = A.shape[1]
+    k = min(max_prefix, L)
+    eqp = (A[:, :k] == B[:, :k]) & (
+        np.arange(k)[None, :] < np.minimum(la, lb).astype(np.int64)[:, None])
+    run = np.cumprod(eqp, axis=1).sum(axis=1)
+    return np.where(j > boost_threshold, j + run * prefix_weight * (1.0 - j), j)
+
+
+def lcp_batch_encoded(A: np.ndarray, la: np.ndarray,
+                      B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Longest-common-prefix length per pair over encoded char matrices
+    (0-padding never extends a prefix past min(la, lb))."""
+    run = np.cumprod(A == B, axis=1).sum(axis=1)
+    return np.minimum(run, np.minimum(la, lb)).astype(np.int64)

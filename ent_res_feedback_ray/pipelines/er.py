@@ -24,13 +24,20 @@ from ..stages.blocking import BLOCK_KEY_SQL, key_blocking_stage
 from ..stages.clustering import transitive_clustering
 from ..stages.constraints import constraint_stage
 from ..stages.features import (
+    CHAR3_JACCARD_SQL,
+    CHAR3_SQL,
+    CJ_INTER_SQL,
+    JW_FIRST_SQL,
     LANG_MATCH_SQL,
     LEN_RATIO_SQL,
     LEV_SIM_SQL,
+    PREFIX_SIM_SQL,
     SCORE_SQL,
     SHINGLE_JACCARD_SQL,
     SHINGLES_SQL,
+    TOKEN_CJACCARD_SQL,
     TOKEN_JACCARD_SQL,
+    TS_DIFF_SQL,
     featurize_stage,
 )
 from ..stages.normalize import normalize_stage
@@ -60,10 +67,11 @@ def blocked_compact(sf_dir: str) -> ray.data.Dataset:
 
 
 def candidate_pairs(sf_dir: str, max_pairs_per_block: int = 10_000_000) -> ray.data.Dataset:
-    ds = blocked(sf_dir).select_columns(["doc_id", "block_key", "norm_text", "lang"])
+    ds = blocked(sf_dir).select_columns(
+        ["doc_id", "block_key", "norm_text", "lang", "warc_ts"])
     return pairs_from_blocks(
         ds, block_col="block_key", id_col="doc_id",
-        carry_cols=["norm_text", "lang"],
+        carry_cols=["norm_text", "lang", "warc_ts"],
         max_pairs_per_block=max_pairs_per_block,
     )
 
@@ -75,13 +83,12 @@ def candidate_pairs_compact(sf_dir: str) -> ray.data.Dataset:
 
 
 def pair_features(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.features import FEATURE_COLS
+
     feats = featurize_stage(candidate_pairs(sf_dir))
 
     def _proj(b: pa.Table) -> pa.Table:
-        return b.select(
-            ["block_key", "id1", "id2", "token_jaccard", "shingle_jaccard",
-             "lev_sim", "len_ratio", "lang_match"]
-        )
+        return b.select(["block_key", "id1", "id2", *FEATURE_COLS])
 
     return feats.map_batches(_proj, batch_format="pyarrow")
 
@@ -162,7 +169,8 @@ def _gold_assignments(sf_dir: str, max_gold_pairs: int = 50_000_000) -> ray.data
         one, block_col="all_key", id_col="doc_id",
         carry_cols=["norm_text", "lang"], max_pairs_per_block=max_gold_pairs,
     )
-    feats = featurize_stage(pairs)
+    # gold only thresholds shingle_jaccard — skip the other nine features
+    feats = featurize_stage(pairs, features=["shingle_jaccard"])
 
     def _edges(b: pa.Table) -> pa.Table:
         sj = b.column("shingle_jaccard").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -208,14 +216,15 @@ _BLOCK_EXPR = BLOCK_KEY_SQL.format(lang="lang", norm="norm_text")
 
 _BLOCKS_CTE = f"""
 blocks AS (
-  SELECT doc_id, lang, norm_text, {_BLOCK_EXPR} AS block_key FROM norm
+  SELECT doc_id, lang, norm_text, warc_ts, {_BLOCK_EXPR} AS block_key FROM norm
 )
 """.strip()
 
 _CAND_CTE = """
 cand AS (
   SELECT a.block_key, a.doc_id AS id1, b.doc_id AS id2,
-         a.norm_text AS n1, b.norm_text AS n2, a.lang AS l1, b.lang AS l2
+         a.norm_text AS n1, b.norm_text AS n2, a.lang AS l1, b.lang AS l2,
+         a.warc_ts AS ts1, b.warc_ts AS ts2
   FROM blocks a JOIN blocks b
     ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 )
@@ -223,10 +232,18 @@ cand AS (
 
 _SH1 = SHINGLES_SQL.format(n="n1")
 _SH2 = SHINGLES_SQL.format(n="n2")
+_C31 = CHAR3_SQL.format(p="left(n1, 100)")
+_C32 = CHAR3_SQL.format(p="left(n2, 100)")
+_CJI = CJ_INTER_SQL.format(n1="n1", n2="n2", t1="tk1", t2="tk2")
 
 _FEAT_CTE = f"""
 shingled AS (
-  SELECT *, {_SH1} AS s1, {_SH2} AS s2 FROM cand
+  SELECT *, {_SH1} AS s1, {_SH2} AS s2, {_C31} AS c1, {_C32} AS c2,
+         string_split(n1, ' ') AS tk1, string_split(n2, ' ') AS tk2
+  FROM cand
+),
+bagged AS (
+  SELECT *, {_CJI} AS cj_inter FROM shingled
 ),
 feat AS (
   SELECT block_key, id1, id2,
@@ -234,8 +251,13 @@ feat AS (
     {SHINGLE_JACCARD_SQL.format(s1="s1", s2="s2")} AS shingle_jaccard,
     {LEV_SIM_SQL.format(n1="n1", n2="n2")} AS lev_sim,
     {LEN_RATIO_SQL.format(n1="n1", n2="n2")} AS len_ratio,
-    {LANG_MATCH_SQL.format(l1="l1", l2="l2")} AS lang_match
-  FROM shingled
+    {LANG_MATCH_SQL.format(l1="l1", l2="l2")} AS lang_match,
+    {JW_FIRST_SQL.format(n1="n1", n2="n2")} AS jw_first,
+    {CHAR3_JACCARD_SQL.format(c1="c1", c2="c2")} AS char3_jaccard,
+    {TOKEN_CJACCARD_SQL.format(n1="n1", n2="n2", t1="tk1", t2="tk2", inter="cj_inter")} AS token_cjaccard,
+    {PREFIX_SIM_SQL.format(n1="n1", n2="n2", p1="left(n1, 40)", p2="left(n2, 40)")} AS prefix_sim,
+    {TS_DIFF_SQL.format(t1="ts1", t2="ts2")} AS ts_diff_days
+  FROM bagged
 )
 """.strip()
 
@@ -276,7 +298,9 @@ def oracle_queries() -> dict[str, str]:
         "er_candidate_pairs": f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
                               "SELECT block_key, id1, id2 FROM cand",
         "er_features": f"{base} SELECT block_key, id1, id2, token_jaccard, "
-                       "shingle_jaccard, lev_sim, len_ratio, lang_match FROM feat",
+                       "shingle_jaccard, lev_sim, len_ratio, lang_match, "
+                       "jw_first, char3_jaccard, token_cjaccard, prefix_sim, "
+                       "ts_diff_days FROM feat",
         "er_scores": f"{base},\n{_SCORE_CTE} SELECT block_key, id1, id2, score FROM scored",
         "er_clusters": f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
                        f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_CLUSTER_SQL_TAIL}",
@@ -336,7 +360,11 @@ def resolve_pages(
     if "doc_id" not in cols:
         pages_ds = add_doc_ids(pages_ds)
     norm = normalize_stage(pages_ds)
-    norm = norm.select_columns(["doc_id", "url", "norm_text", "lang"]).materialize()
+    # warc_ts feeds the ts_diff_days feature when the input carries it
+    norm_cols = ["doc_id", "url", "norm_text", "lang"]
+    if "warc_ts" in cols:
+        norm_cols.append("warc_ts")
+    norm = norm.select_columns(norm_cols).materialize()
     # right-size block count: the featurize stage downstream is CPU-bound, so
     # parallelism must track the cluster (sources read via read_table already
     # produce ~ncpu/2..ncpu blocks; from_pandas fixtures arrive as 1 block)
@@ -383,9 +411,10 @@ def resolve_pages(
         # cheaper than the extra wide op (counters then count pair-instances)
         pairs = dedup_pairs(pairs)
 
+    from ..stages.features import FEATURE_COLS
+
     keep = ["block_key", "id1", "id2", "pairs_possible",
-            "token_jaccard", "shingle_jaccard", "lev_sim", "len_ratio",
-            "lang_match", "score", "constraint"]
+            *FEATURE_COLS, "score", "constraint"]
     n_docs = norm.count()
     if n_docs <= 2_000_000:
         # HOT PATH: featurize against broadcast doc signatures (sorted hash
@@ -406,9 +435,11 @@ def resolve_pages(
         # dimension-scale path: join attributes onto pairs, string featurizer
         from ..stages.shuffleops import attach_attrs
 
+        attr_cols = [c for c in ("norm_text", "lang", "warc_ts")
+                     if c in norm.schema().names]
         wide = attach_attrs(
-            pairs, norm.select_columns(["doc_id", "norm_text", "lang"]),
-            id_col="doc_id", attr_cols=["norm_text", "lang"])
+            pairs, norm.select_columns(["doc_id", *attr_cols]),
+            id_col="doc_id", attr_cols=attr_cols)
         feats = featurize_stage(wide)
         if model is None:
             scored = linear_scoring_stage(feats)

@@ -6,18 +6,24 @@ memory-bandwidth-bound and stops scaling with cores.  This module keeps the
 pair stream as ``(block_key, id1, id2)`` integers and computes the SAME
 feature values from a compact, **zero-copy broadcast** signature table:
 
-- per doc: sorted uint64 FNV hashes of its token set and its word-3-gram
-  shingle set (CSR layout: one flat array + offsets), the UTF-32 prefix
-  matrix for Myers Levenshtein, normalized length, lang code, text md5;
+- per doc: sorted uint64 FNV hashes of its token BAG (dups kept, for the
+  multiset counter-jaccard), its word-3-gram shingle set and its char-3-gram
+  set (CSR layout: one flat array + offsets), the UTF-32 prefix matrix for
+  Myers Levenshtein / LCP, the UTF-32 first-token matrix for Jaro-Winkler,
+  normalized length, lang code, warc_ts (µs), text md5;
 - the whole table is numpy arrays in the object store — ``ray.get`` gives
   every worker a read-only view of the SAME plasma memory (no per-worker
   heap copy, no deserialization);
-- per pair: |A∩B| via ``searchsorted`` membership on the sorted hash
-  slices — values are bit-identical to the string-set path unless a 64-bit
-  FNV collision occurs inside one document (probability ~n_tokens²/2⁶⁴).
+- per batch: set/bag intersections for ALL unique pairs at once via a
+  gather → value-code → sort-count kernel (zero per-pair Python); values are
+  bit-identical to the string-set path unless a 64-bit FNV collision occurs
+  inside one document (probability ~n_tokens²/2⁶⁴).
 
-Scale boundary: the signature table must fit the object store (~60 bytes +
-16·tokens per doc).  Beyond that, resolve_pages falls back to the
+Empty-side semantics match the spec exactly: any jaccard with an empty side
+is NaN (NOT 0.0 — see strsim.jaccard / counter_jaccard).
+
+Scale boundary: the signature table must fit the object store (~300 bytes +
+~24·tokens per doc).  Beyond that, resolve_pages falls back to the
 ``attach_attrs`` join path (stages/shuffleops.py).
 
 Reference analog: the fork-shared in-RAM corpus every featurizer worker read
@@ -35,88 +41,100 @@ import ray
 import ray.data
 
 from ..functions.hashing import fnv1a64
-from ..functions.strsim import levenshtein_batch_myers_encoded
-from ..functions.textnorm import word_ngrams
-from .features import LEV_PREFIX
+from ..functions.strsim import (
+    encode_utf32,
+    jaro_winkler_batch_encoded,
+    lcp_batch_encoded,
+    levenshtein_batch_myers_encoded,
+)
+from ..functions.textnorm import char_ngrams, word_ngrams
+from .features import CHAR3_PREFIX, CJ_CLAMP, FTOK_LEN, LEV_PREFIX, TS_CLAMP_DAYS
 
 
 class DocSignatures:
     """Columnar per-doc signature table (all numpy; plasma-friendly)."""
 
-    __slots__ = ("ids", "tok_flat", "tok_off", "shg_flat", "shg_off",
-                 "prefix", "prefix_len", "text_len", "lang_code", "text_md5")
+    __slots__ = ("ids", "tok_flat", "tok_off", "tok_nset", "tok_ncodes",
+                 "shg_flat", "shg_off", "shg_ncodes",
+                 "ch3_flat", "ch3_off", "ch3_ncodes", "prefix", "prefix_len",
+                 "ftok", "ftok_len", "text_len", "lang_code", "text_md5",
+                 "ts_us")
 
-    def __init__(self, ids, tok_flat, tok_off, shg_flat, shg_off, prefix,
-                 prefix_len, text_len, lang_code, text_md5):
-        self.ids = ids
-        self.tok_flat = tok_flat
-        self.tok_off = tok_off
-        self.shg_flat = shg_flat
-        self.shg_off = shg_off
-        self.prefix = prefix
-        self.prefix_len = prefix_len
-        self.text_len = text_len
-        self.lang_code = lang_code
-        self.text_md5 = text_md5
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
 
 
 def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
                          norm_col: str = "norm_text",
-                         lang_col: str = "lang") -> DocSignatures:
+                         lang_col: str = "lang",
+                         ts_col: str = "warc_ts") -> DocSignatures:
     """Distributed signature build (map_batches), driver-side concatenation,
-    sorted by doc id.  Lang codes are a deterministic factorization."""
+    sorted by doc id.  Lang codes are a deterministic factorization.
+    ``ts_col`` is optional — absent input → ts_diff_days is NaN downstream."""
+    have_ts = ts_col in norm_ds.schema().names
 
     def _sig(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         norms = t.column(norm_col).to_pylist()
         langs = t.column(lang_col)
         n = len(norms)
-        tok_bytes, shg_bytes, prefixes = [], [], []
+        tok_bytes, shg_bytes, ch3_bytes, prefixes, ftoks = [], [], [], [], []
         md5s = np.empty(n, dtype=np.int64)
         lens = np.empty(n, dtype=np.int64)
+        nsets = np.empty(n, dtype=np.int64)
         for i, s in enumerate(norms):
             s = s or ""
             words = s.split()
-            th = np.sort(fnv1a64(sorted(set(words))))
+            # token BAG (dups kept) — set stats derive from distinct values
+            th = np.sort(fnv1a64(words)) if words else np.empty(0, np.uint64)
+            nsets[i] = len(set(words))
             sh = np.sort(fnv1a64(sorted(set(word_ngrams(words, 3)))))
+            c3 = np.sort(fnv1a64(sorted(set(char_ngrams(s[:CHAR3_PREFIX], 3)))))
             tok_bytes.append(th.tobytes())
             shg_bytes.append(sh.tobytes())
+            ch3_bytes.append(c3.tobytes())
             # pack the UTF-32 prefix row (fixed LEV_PREFIX uint32 words)
             enc = s[:LEV_PREFIX].encode("utf-32-le")
             prefixes.append(enc + b"\x00" * (LEV_PREFIX * 4 - len(enc)))
+            ft = (words[0][:FTOK_LEN] if words else "").encode("utf-32-le")
+            ftoks.append(ft + b"\x00" * (FTOK_LEN * 4 - len(ft)))
             md5s[i] = np.frombuffer(
                 hashlib.md5(s.encode("utf-8")).digest()[:8],
                 dtype=np.uint64)[0].astype(np.int64)
             lens[i] = len(s)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "tok": pa.array(tok_bytes, pa.binary()),
+            "nset": pa.array(nsets, pa.int64()),
             "shg": pa.array(shg_bytes, pa.binary()),
+            "ch3": pa.array(ch3_bytes, pa.binary()),
             "prefix": pa.array(prefixes, pa.binary()),
+            "ftok": pa.array(ftoks, pa.binary()),
             "md5": pa.array(md5s, pa.int64()),
             "text_len": pa.array(lens, pa.int64()),
             "lang": langs,
-        })
+        }
+        if have_ts:
+            ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            cols["ts_us"] = pa.array(ts, pa.int64())
+        return pa.table(cols)
 
     # pull as arrow (binary columns stay contiguous buffers — the driver
     # concatenation is a few memcpys, not 300k tiny-array concats)
-    import pyarrow as _pa
-
     tables = list(norm_ds.map_batches(_sig, batch_format="pyarrow",
                                       batch_size=8192).iter_batches(
         batch_size=None, batch_format="pyarrow"))
-    tbl = _pa.concat_tables(tables).combine_chunks()
+    tbl = pa.concat_tables(tables).combine_chunks()
     order = np.argsort(tbl.column("doc_id").to_numpy(), kind="stable")
-    tbl = tbl.take(_pa.array(order, _pa.int64()))
+    tbl = tbl.take(pa.array(order, pa.int64()))
 
     ids = tbl.column("doc_id").to_numpy()
-    tok_col = tbl.column("tok").combine_chunks()
-    shg_col = tbl.column("shg").combine_chunks()
-    pre_col = tbl.column("prefix").combine_chunks()
-
     import pyarrow.compute as _pc
 
     def _flat_csr(col) -> tuple[np.ndarray, np.ndarray]:
+        col = col.combine_chunks()
         n_words = (_pc.binary_length(col).to_numpy() // 8).astype(np.int64)
         blob = b"".join(col.to_pylist())  # one memcpy pass
         data = np.frombuffer(blob, dtype=np.uint64) if blob else \
@@ -124,38 +142,128 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
         off = np.concatenate([[0], np.cumsum(n_words)]).astype(np.int64)
         return data, off
 
-    tok_flat, tok_off = _flat_csr(tok_col)
-    shg_flat, shg_off = _flat_csr(shg_col)
-    prefix = np.frombuffer(b"".join(pre_col.to_pylist()),
-                           dtype=np.uint32).reshape(len(ids), LEV_PREFIX)
+    def _flat_mat(col, width: int) -> np.ndarray:
+        col = col.combine_chunks()
+        return np.frombuffer(b"".join(col.to_pylist()),
+                             dtype=np.uint32).reshape(len(ids), width)
+
+    def _recode(flat: np.ndarray) -> tuple[np.ndarray, int]:
+        """Map uint64 hashes → dense MONOTONE int64 codes, computed once for
+        the whole corpus.  Monotone ⇒ per-doc slices stay sorted, so the
+        per-batch kernel needs no sorts at all (see pair_bag_stats)."""
+        if len(flat) == 0:
+            return flat.astype(np.int64), 0
+        uniq, inv = np.unique(flat, return_inverse=True)
+        return inv.astype(np.int64), len(uniq)
+
+    tok_flat, tok_off = _flat_csr(tbl.column("tok"))
+    shg_flat, shg_off = _flat_csr(tbl.column("shg"))
+    ch3_flat, ch3_off = _flat_csr(tbl.column("ch3"))
+    tok_flat, tok_ncodes = _recode(tok_flat)
+    shg_flat, shg_ncodes = _recode(shg_flat)
+    ch3_flat, ch3_ncodes = _recode(ch3_flat)
+    prefix = _flat_mat(tbl.column("prefix"), LEV_PREFIX)
+    ftok = _flat_mat(tbl.column("ftok"), FTOK_LEN)
     text_len = tbl.column("text_len").to_numpy()
     prefix_len = np.minimum(text_len, LEV_PREFIX).astype(np.int64)
+    ftok_len = (ftok != 0).sum(axis=1).astype(np.int64)
     lang_codes, _ = pd.factorize(
         pd.Series(tbl.column("lang").to_pylist()), sort=True)
+    ts_us = (tbl.column("ts_us").to_numpy().astype(np.int64)
+             if have_ts else None)
     return DocSignatures(
         ids=ids.astype(np.int64),
         tok_flat=np.ascontiguousarray(tok_flat),
         tok_off=tok_off.astype(np.int64),
+        tok_nset=tbl.column("nset").to_numpy().astype(np.int64),
+        tok_ncodes=tok_ncodes,
         shg_flat=np.ascontiguousarray(shg_flat),
         shg_off=shg_off.astype(np.int64),
+        shg_ncodes=shg_ncodes,
+        ch3_flat=np.ascontiguousarray(ch3_flat),
+        ch3_off=ch3_off.astype(np.int64),
+        ch3_ncodes=ch3_ncodes,
         prefix=np.ascontiguousarray(prefix),
         prefix_len=prefix_len,
+        ftok=np.ascontiguousarray(ftok),
+        ftok_len=ftok_len,
         text_len=text_len.astype(np.int64),
         lang_code=lang_codes.astype(np.int64),
         text_md5=tbl.column("md5").to_numpy().astype(np.int64),
+        ts_us=ts_us,
     )
 
 
-def _intersect_size(flat: np.ndarray, off: np.ndarray, i: int, j: int) -> int:
-    a = flat[off[i]: off[i + 1]]
-    b = flat[off[j]: off[j + 1]]
-    if len(a) > len(b):
-        a, b = b, a
-    if len(a) == 0:
-        return 0
-    lo = np.searchsorted(b, a, side="left")
-    hi = np.searchsorted(b, a, side="right")
-    return int((hi > lo).sum())
+# ---------------------------------------------------------------------------
+# Vectorized CSR pair-intersection kernel (zero per-pair Python)
+# ---------------------------------------------------------------------------
+
+def _gather_csr(flat: np.ndarray, off: np.ndarray, docs: np.ndarray):
+    """Concatenate the CSR slices of ``docs``: (values, owner index, lengths)."""
+    lens = (off[docs + 1] - off[docs]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype), np.empty(0, np.int64), lens
+    cum = np.cumsum(lens)
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(cum - lens, lens) + np.repeat(off[docs], lens))
+    owner = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+    return flat[idx], owner, lens
+
+
+def _rle_sorted(k: np.ndarray):
+    """Run-length encode an ALREADY-SORTED key array → (uniques, counts)."""
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    return k[starts], np.diff(np.append(starts, len(k)))
+
+
+def pair_bag_stats(flat: np.ndarray, off: np.ndarray, ncodes: int,
+                   u1: np.ndarray, u2: np.ndarray, bag: bool = False):
+    """Per pair k: |set(A)∩set(B)| (and the multiset intersection when
+    ``bag``) over the CSR slices of docs u1[k], u2[k].
+
+    Zero sorts: ``flat`` holds dense MONOTONE value codes (see ``_recode``),
+    so ``owner·C + code`` is globally sorted by construction (owner index is
+    non-decreasing, slices are sorted) — intersections reduce to one
+    ``searchsorted`` between two pre-sorted key streams."""
+    m = len(u1)
+    if m == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    v1, p1, _ = _gather_csr(flat, off, u1)
+    v2, p2, _ = _gather_csr(flat, off, u2)
+    if len(v1) == 0 or len(v2) == 0:
+        z = np.zeros(m, np.int64)
+        return z, z.copy()
+    C = np.int64(max(ncodes, 1))
+    k1 = p1 * C + v1
+    k2 = p2 * C + v2
+    if bag:
+        uk1, n1 = _rle_sorted(k1)
+        uk2, n2 = _rle_sorted(k2)
+    else:  # set slices have no dups — every key is already unique
+        uk1, n1 = k1, None
+        uk2, n2 = k2, None
+    pos = np.searchsorted(uk2, uk1)
+    pos_c = np.minimum(pos, len(uk2) - 1)
+    match = uk2[pos_c] == uk1
+    mp = uk1[match] // C
+    set_inter = np.bincount(mp, minlength=m).astype(np.int64)
+    if not bag:
+        return set_inter, set_inter
+    bag_inter = np.bincount(
+        mp, weights=np.minimum(n1[match], n2[pos_c[match]]),
+        minlength=m).astype(np.int64)
+    return set_inter, bag_inter
+
+
+def _jaccard_from_inter(inter: np.ndarray, l1: np.ndarray,
+                        l2: np.ndarray) -> np.ndarray:
+    """Set jaccard with spec NaN semantics (either side empty → NaN)."""
+    union = l1 + l2 - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = inter / union
+    return np.where((l1 > 0) & (l2 > 0), out, np.nan)
 
 
 def featurize_and_score_fast(
@@ -164,15 +272,24 @@ def featurize_and_score_fast(
     seeds: dict | None = None,
     lang_rule: bool = True,
     exact_text_rule: bool = True,
-    batch_size: int = 32768,
+    # 4096 keeps every temporary a few MB: small enough to stay in the malloc
+    # arena and be reused across batches (fresh first-touch pages cost
+    # ~300µs/page on virtualized hosts — measured 0.8s vs 34s for the same
+    # work at batch 32768), big enough to amortize the kernel setup.
+    batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """pairs (block_key, id1, id2, …) → + FEATURE_COLS + score + constraint.
 
     One fused stateless stage: signature lookups are zero-copy views into
-    plasma; no Python strings touch the pair stream.  Feature values and the
-    linear score are bit-identical to the string path (features.py) modulo
-    64-bit hash collisions."""
-    seeds_ref = ray.put(seeds or {})
+    plasma; no Python strings touch the pair stream, no per-pair Python runs.
+    Feature values and the linear score are bit-identical to the string path
+    (features.py) modulo 64-bit hash collisions."""
+    seed_df = None
+    if seeds:
+        seed_df = pd.DataFrame(
+            [(a, b, v) for (a, b), v in seeds.items()],
+            columns=["id1", "id2", "__seed"])
+    seeds_ref = ray.put(seed_df)
 
     def _fast(batch: pa.Table) -> pa.Table:
         from .shuffleops import _broadcast_get
@@ -190,19 +307,26 @@ def featurize_and_score_fast(
         u1 = (uniq // len(sig.ids)).astype(np.int64)
         u2 = (uniq % len(sig.ids)).astype(np.int64)
 
-        m = len(uniq)
-        tj_u = np.empty(m)
-        sj_u = np.empty(m)
-        tok_sizes = np.diff(sig.tok_off)
+        tok_sizes = np.diff(sig.tok_off)  # bag sizes (with dups)
         shg_sizes = np.diff(sig.shg_off)
-        for k in range(m):
-            a, b = u1[k], u2[k]
-            ti = _intersect_size(sig.tok_flat, sig.tok_off, a, b)
-            tu = tok_sizes[a] + tok_sizes[b] - ti
-            tj_u[k] = ti / tu if tu else np.nan
-            si = _intersect_size(sig.shg_flat, sig.shg_off, a, b)
-            su = shg_sizes[a] + shg_sizes[b] - si
-            sj_u[k] = si / su if su else np.nan
+        ch3_sizes = np.diff(sig.ch3_off)
+
+        tset_i, tbag_i = pair_bag_stats(sig.tok_flat, sig.tok_off,
+                                        sig.tok_ncodes, u1, u2, bag=True)
+        sset_i, _ = pair_bag_stats(sig.shg_flat, sig.shg_off,
+                                   sig.shg_ncodes, u1, u2)
+        cset_i, _ = pair_bag_stats(sig.ch3_flat, sig.ch3_off,
+                                   sig.ch3_ncodes, u1, u2)
+
+        tj_u = _jaccard_from_inter(tset_i, sig.tok_nset[u1], sig.tok_nset[u2])
+        sj_u = _jaccard_from_inter(sset_i, shg_sizes[u1], shg_sizes[u2])
+        c3_u = _jaccard_from_inter(cset_i, ch3_sizes[u1], ch3_sizes[u2])
+        # multiset counter-jaccard with denominator clamp (spec: strsim.py)
+        bl1, bl2 = tok_sizes[u1], tok_sizes[u2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cj_u = tbag_i / np.minimum(bl1 + bl2 - tbag_i, CJ_CLAMP)
+        cj_u = np.where((bl1 > 0) & (bl2 > 0), cj_u, np.nan)
+
         lev_u = levenshtein_batch_myers_encoded(
             sig.prefix[u1], sig.prefix_len[u1], sig.prefix[u2], sig.prefix_len[u2])
         len1, len2 = sig.text_len[u1], sig.text_len[u2]
@@ -216,7 +340,22 @@ def featurize_and_score_fast(
         lang_eq_u = sig.lang_code[u1] == sig.lang_code[u2]
         lm_u = lang_eq_u.astype(np.float64)
 
+        jw_u = np.where(nonempty, jaro_winkler_batch_encoded(
+            sig.ftok[u1], sig.ftok_len[u1], sig.ftok[u2], sig.ftok_len[u2]),
+            np.nan)
+        lcp_u = lcp_batch_encoded(sig.prefix[u1], sig.prefix_len[u1],
+                                  sig.prefix[u2], sig.prefix_len[u2])
+        pmin = np.minimum(sig.prefix_len[u1], sig.prefix_len[u2])
+        ps_u = np.where(nonempty, lcp_u / np.maximum(pmin, 1), np.nan)
+        if sig.ts_us is not None:
+            td_u = np.minimum(
+                np.abs(sig.ts_us[u1] - sig.ts_us[u2]).astype(np.float64)
+                / 86400000000.0, TS_CLAMP_DAYS)
+        else:
+            td_u = np.full(len(u1), np.nan)
+
         tj, sj, lv, lr, lm = tj_u[inv], sj_u[inv], lv_u[inv], lr_u[inv], lm_u[inv]
+        jw, c3, cj, ps, td = jw_u[inv], c3_u[inv], cj_u[inv], ps_u[inv], td_u[inv]
         # linear score — same association order as SCORE_SQL
         z = ((0.55 * np.nan_to_num(sj) + 0.25 * np.nan_to_num(tj))
              + 0.15 * np.nan_to_num(lv)) + 0.05 * np.nan_to_num(lr)
@@ -232,14 +371,12 @@ def featurize_and_score_fast(
                        & (sig.text_len[u1] > 0) & lang_eq_u)
             exact = exact_u[inv]
             cons[exact] = 0.0
-        seed_map = ray.get(seeds_ref)
-        if seed_map:
-            for idx in range(n):
-                s = seed_map.get((int(id1[idx]), int(id2[idx])))
-                if s == "require":
-                    cons[idx] = 0.0
-                elif s == "disallow":
-                    cons[idx] = 1.0e4
+        sdf = _broadcast_get(seeds_ref)
+        if sdf is not None:
+            merged = pd.DataFrame({"id1": id1, "id2": id2}).merge(
+                sdf, on=["id1", "id2"], how="left")["__seed"].to_numpy(object)
+            cons[merged == "require"] = 0.0
+            cons[merged == "disallow"] = 1.0e4
 
         def col(arr):
             return pa.array(arr, pa.float64(), from_pandas=True)
@@ -250,6 +387,11 @@ def featurize_and_score_fast(
             .append_column("lev_sim", col(lv))
             .append_column("len_ratio", col(lr))
             .append_column("lang_match", col(lm))
+            .append_column("jw_first", col(jw))
+            .append_column("char3_jaccard", col(c3))
+            .append_column("token_cjaccard", col(cj))
+            .append_column("prefix_sim", col(ps))
+            .append_column("ts_diff_days", col(td))
             .append_column("score", pa.array(score, pa.float64()))
             .append_column("constraint", col(cons))
         )

@@ -33,16 +33,18 @@ _BROADCAST_CACHE: dict = {}
 
 def _broadcast_get(ref):
     """ray.get with a per-worker-process deserialization cache — a broadcast
-    side table is fetched/unpickled ONCE per worker, not once per batch."""
+    side table is fetched/unpickled ONCE per worker, not once per batch.
+    Holds a few entries (a stage may read several side inputs per batch,
+    e.g. signatures + seeds); numpy payloads are zero-copy plasma views so
+    the cache cost is the pickle of the non-numpy parts only."""
     import ray as _ray
 
     key = ref.hex()
-    hit = _BROADCAST_CACHE.get(key)
-    if hit is None:
-        hit = _ray.get(ref)
-        _BROADCAST_CACHE.clear()  # hold at most one side table per worker
-        _BROADCAST_CACHE[key] = hit
-    return hit
+    if key not in _BROADCAST_CACHE:
+        if len(_BROADCAST_CACHE) >= 4:
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = _ray.get(ref)
+    return _BROADCAST_CACHE[key]
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:

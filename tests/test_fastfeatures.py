@@ -64,6 +64,53 @@ def test_fast_matches_string_path():
         assert same.all(), (c, np.nonzero(~same)[0][:5])
 
 
+def test_fast_matches_string_path_with_ts():
+    """warc_ts present → ts_diff_days must agree bit-for-bit; one doc is
+    forced EMPTY so the empty-side NaN semantics are pinned on both paths."""
+    docs = _docs()
+    docs.loc[5, "norm_text"] = ""  # explicit empty vs nonempty pairs
+    docs["warc_ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        docs["doc_id"] * 37, unit="m")
+    docs["warc_ts"] = docs["warc_ts"].astype("datetime64[us]")
+    sig_ref = ray.put(build_doc_signatures(ray.data.from_pandas(docs)))
+
+    rng = np.random.default_rng(3)
+    id1 = rng.integers(0, 60, 200)
+    id2 = rng.integers(0, 60, 200)
+    keep = id1 != id2
+    pairs = pd.DataFrame({
+        "block_key": "b",
+        "id1": np.minimum(id1, id2)[keep],
+        "id2": np.maximum(id1, id2)[keep],
+        "pairs_possible": np.int64(1),
+    })
+    # force empty-doc pairs into the batch
+    pairs = pd.concat([pairs, pd.DataFrame({
+        "block_key": ["b", "b"], "id1": [2, 5], "id2": [5, 7],
+        "pairs_possible": np.int64(1)})], ignore_index=True)
+    fast = featurize_and_score_fast(
+        ray.data.from_pandas(pairs), sig_ref).to_pandas()
+
+    lk = docs.set_index("doc_id")
+    wide = pairs.copy()
+    for side in ("1", "2"):
+        for c in ("norm_text", "lang", "warc_ts"):
+            wide[f"{c}{side}"] = lk.loc[wide[f"id{side}"], c].to_numpy()
+    spec = featurize_pairs_batch(pa.Table.from_pandas(wide)).to_pandas()
+
+    fast = fast.sort_values(["id1", "id2"]).reset_index(drop=True)
+    spec = spec.sort_values(["id1", "id2"]).reset_index(drop=True)
+    for c in FEATURE_COLS:
+        a = fast[c].to_numpy(dtype=np.float64)
+        b = spec[c].to_numpy(dtype=np.float64)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (c, np.nonzero(~same)[0][:5])
+    # empty-side rows: every jaccard is NaN, never 0.0
+    e = fast[(fast.id1 == 5) | (fast.id2 == 5)]
+    assert e["token_jaccard"].isna().all()
+    assert e["token_cjaccard"].isna().all()
+
+
 def test_fast_constraints():
     docs = _docs()
     # two docs with identical nonempty text and lang → require

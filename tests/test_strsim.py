@@ -83,3 +83,32 @@ def test_levenshtein_sim():
     assert levenshtein_sim("abcd", "abcd") == 1.0
     assert levenshtein_sim("abcd", "abce") == pytest.approx(0.75)
     assert math.isnan(levenshtein_sim("", "abc"))
+
+
+def test_jaro_winkler_batch_parity():
+    """The vectorized JW kernel must be bit-identical to the scalar spec AND
+    to DuckDB's jaro_winkler_similarity (it feeds the jw_first oracle)."""
+    import duckdb
+    import numpy as np
+
+    from ent_res_feedback_ray.functions.strsim import (
+        encode_utf32,
+        jaro_winkler_batch_encoded,
+    )
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdef")
+    strs = [""] + ["".join(rng.choice(alpha, size=rng.integers(1, 17)))
+                   for _ in range(150)]
+    xs = [strs[rng.integers(0, len(strs))] for _ in range(600)]
+    ys = [strs[rng.integers(0, len(strs))] for _ in range(600)]
+    A, la = encode_utf32(xs, 16)
+    B, lb = encode_utf32(ys, 16)
+    batch = jaro_winkler_batch_encoded(A, la, B, lb)
+    for i in range(0, 600, 7):
+        assert batch[i] == jaro_winkler(xs[i], ys[i]), (xs[i], ys[i])
+    con = duckdb.connect()
+    for i in range(0, 600, 23):
+        db = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                         [xs[i], ys[i]]).fetchone()[0]
+        assert batch[i] == db, (xs[i], ys[i], batch[i], db)
