@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        "er_pair_sample": er.pair_sample,
+        "er_hash_split": er.hash_split,
         "er_snm_pairs": er.snm_pairs,
         "er_time_split": er.time_split,
         "er_b3_blocks_vs_lang": er.b3_blocks_vs_lang,

@@ -80,22 +80,113 @@ def pairwise_prf(pred: pd.DataFrame, gold: pd.DataFrame, id_col: str = "id",
     return prec, rec, f1
 
 
+def cells_dataset(pred_ds: ray.data.Dataset, gold_ds: ray.data.Dataset,
+                  id_col: str = "id", pred_col: str = "pred",
+                  gold_col: str = "gold",
+                  facet_cols: list[str] | None = None,
+                  num_partitions: int = 16) -> pd.DataFrame:
+    """DISTRIBUTED contingency cells: inner-join pred⋈gold per mention (hash
+    join — the per-mention tables never reach the driver), then per-batch
+    partial cell counts + one bucketed grouped sum.  Only the |cells| table
+    (bounded by #clusters, orders of magnitude below #mentions) is collected.
+    ``facet_cols`` (columns on the pred side) key the cells additionally —
+    the facet_eval path."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    facet_cols = facet_cols or []
+    left = pred_ds.select_columns([id_col, pred_col, *facet_cols])
+    right = gold_ds.select_columns([id_col, gold_col]).map_batches(
+        lambda df: df.rename(columns={id_col: "__gold_id"}),
+        batch_format="pandas")
+    j = left.join(right, "inner", num_partitions=num_partitions,
+                  on=(id_col,), right_on=("__gold_id",))
+    keys = [*facet_cols, pred_col, gold_col]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).size().rename(
+            columns={"size": "n_cell"})
+
+    partials = j.map_batches(_partial, batch_format="pandas")
+    cells = bucketed_aggregate(partials, keys, n_cell=("n_cell", "sum"))
+    return cells.to_pandas()
+
+
+def _prf_from_cells(cells: pd.DataFrame, pred_col: str = "pred",
+                    gold_col: str = "gold") -> dict:
+    """Both metric families from the cell table alone (every mention is in
+    exactly one (pred, gold) cell, so sizes are cell marginals)."""
+    n = int(cells["n_cell"].sum())
+    if n == 0:
+        return {k: float("nan") for k in (
+            "b3_precision", "b3_recall", "b3_f1",
+            "pair_precision", "pair_recall", "pair_f1")}
+    psize = cells.groupby(pred_col)["n_cell"].transform("sum").to_numpy(np.float64)
+    gsize = cells.groupby(gold_col)["n_cell"].transform("sum").to_numpy(np.float64)
+    nc = cells["n_cell"].to_numpy(np.float64)
+    prec = float((nc * nc / psize).sum() / n)
+    rec = float((nc * nc / gsize).sum() / n)
+    bf = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+
+    def c2(v: np.ndarray) -> int:
+        v = v.astype(np.int64)
+        return int((v * (v - 1) // 2).sum())
+
+    tp = c2(nc)
+    pred_pairs = c2(cells.groupby(pred_col)["n_cell"].sum().to_numpy())
+    gold_pairs = c2(cells.groupby(gold_col)["n_cell"].sum().to_numpy())
+    pp = tp / pred_pairs if pred_pairs else float("nan")
+    pr = tp / gold_pairs if gold_pairs else float("nan")
+    pf = (2 * tp / (pred_pairs + gold_pairs)
+          if (pred_pairs + gold_pairs) else float("nan"))
+    return {"b3_precision": prec, "b3_recall": rec, "b3_f1": bf,
+            "pair_precision": pp, "pair_recall": pr, "pair_f1": pf}
+
+
+def cluster_metrics_dataset(pred_ds: ray.data.Dataset,
+                            gold_ds: ray.data.Dataset,
+                            id_col: str = "id", pred_col: str = "pred",
+                            gold_col: str = "gold") -> dict:
+    """One distributed join+aggregate, both metric families out."""
+    cells = cells_dataset(pred_ds, gold_ds, id_col, pred_col, gold_col)
+    return _prf_from_cells(cells, pred_col, gold_col)
+
+
 def b3_dataset(pred_ds: ray.data.Dataset, gold_ds: ray.data.Dataset,
                id_col: str = "id", pred_col: str = "pred",
                gold_col: str = "gold") -> pd.DataFrame:
-    """Dataset-shaped B³: assignments stay distributed until the cluster-size
-    aggregates; returns a one-row frame (b3_precision, b3_recall, b3_f1)."""
-    pred = pred_ds.select_columns([id_col, pred_col]).to_pandas()
-    gold = gold_ds.select_columns([id_col, gold_col]).to_pandas()
-    p, r, f = b3_prf(pred, gold, id_col, pred_col, gold_col)
-    return pd.DataFrame({"b3_precision": [round(p, 6)], "b3_recall": [round(r, 6)],
-                         "b3_f1": [round(f, 6)]})
+    """Dataset-shaped B³ — distributed cells, |clusters|-sized driver merge."""
+    m = cluster_metrics_dataset(pred_ds, gold_ds, id_col, pred_col, gold_col)
+    return pd.DataFrame({"b3_precision": [round(m["b3_precision"], 6)],
+                         "b3_recall": [round(m["b3_recall"], 6)],
+                         "b3_f1": [round(m["b3_f1"], 6)]})
 
 
 def pairwise_dataset(pred_ds: ray.data.Dataset, gold_ds: ray.data.Dataset,
                      id_col: str = "id", pred_col: str = "pred",
                      gold_col: str = "gold") -> pd.DataFrame:
-    pred = pred_ds.select_columns([id_col, pred_col]).to_pandas()
-    gold = gold_ds.select_columns([id_col, gold_col]).to_pandas()
-    p, r, f = pairwise_prf(pred, gold, id_col, pred_col, gold_col)
-    return pd.DataFrame({"pair_precision": [p], "pair_recall": [r], "pair_f1": [f]})
+    m = cluster_metrics_dataset(pred_ds, gold_ds, id_col, pred_col, gold_col)
+    return pd.DataFrame({"pair_precision": [m["pair_precision"]],
+                         "pair_recall": [m["pair_recall"]],
+                         "pair_f1": [m["pair_f1"]]})
+
+
+def facet_metrics_dataset(pred_ds: ray.data.Dataset,
+                          gold_ds: ray.data.Dataset,
+                          facet_col: str,
+                          id_col: str = "id", pred_col: str = "pred",
+                          gold_col: str = "gold") -> pd.DataFrame:
+    """Per-facet B³/pairwise breakdown (reference ``facet_eval``,
+    /root/reference/s2and/eval.py:196-427): ONE distributed cells pass keyed
+    by the facet, metrics derived per facet value from the small cell table.
+    Facet semantics: a cluster's members may span facets; within a facet we
+    evaluate the induced sub-partition (cells restricted to the facet)."""
+    cells = cells_dataset(pred_ds, gold_ds, id_col, pred_col, gold_col,
+                          facet_cols=[facet_col])
+    rows = []
+    for v, grp in cells.groupby(facet_col, sort=True):
+        m = _prf_from_cells(grp, pred_col, gold_col)
+        rows.append({facet_col: v, "n_docs": int(grp["n_cell"].sum()),
+                     "b3_precision": round(m["b3_precision"], 6),
+                     "b3_recall": round(m["b3_recall"], 6),
+                     "b3_f1": round(m["b3_f1"], 6)})
+    return pd.DataFrame(rows)

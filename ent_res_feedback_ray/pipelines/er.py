@@ -186,17 +186,23 @@ def _gold_assignments(sf_dir: str, max_gold_pairs: int = 50_000_000) -> ray.data
 
 def er_quality(sf_dir: str) -> pd.DataFrame:
     """One-row quality report: pairwise P/R/F1 + B³ of the blocked pipeline's
-    clusters vs the brute-force gold components."""
-    pred = clusters(sf_dir).to_pandas().rename(
-        columns={"doc_id": "id", "cluster_id": "pred"})
-    gold = _gold_assignments(sf_dir).to_pandas().rename(
-        columns={"node": "id", "label": "gold"})
-    pp, pr, pf = pairwise_prf(pred, gold)
-    bp, br, bf = b3_prf(pred, gold)
+    clusters vs the brute-force gold components.  Both assignment tables stay
+    distributed through the metric join (eval.metrics.cells_dataset)."""
+    from ..eval.metrics import cluster_metrics_dataset
+
+    pred = clusters(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"id": df["doc_id"], "pred": df["cluster_id"]}),
+        batch_format="pandas")
+    gold = _gold_assignments(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"id": df["node"], "gold": df["label"]}),
+        batch_format="pandas")
+    m = cluster_metrics_dataset(pred, gold)
     return pd.DataFrame({
-        "pair_precision": [pp], "pair_recall": [pr], "pair_f1": [pf],
-        "b3_precision": [round(bp, 6)], "b3_recall": [round(br, 6)],
-        "b3_f1": [round(bf, 6)],
+        "pair_precision": [m["pair_precision"]],
+        "pair_recall": [m["pair_recall"]], "pair_f1": [m["pair_f1"]],
+        "b3_precision": [round(m["b3_precision"], 6)],
+        "b3_recall": [round(m["b3_recall"], 6)],
+        "b3_f1": [round(m["b3_f1"], 6)],
     })
 
 
@@ -286,6 +292,19 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """.strip()
 
 
+def _pair_sample_filter() -> str:
+    from ..stages.sampling import pair_sample_sql_filter
+
+    return pair_sample_sql_filter(0.25, seed=23)
+
+
+def _hash_split_case() -> str:
+    from ..stages.sampling import hash_split_sql_case
+
+    return hash_split_sql_case(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=23)
+
+
 def oracle_queries() -> dict[str, str]:
     """SQL twins for each oracle-checked ER query (driver contract)."""
     base = f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE},\n{_FEAT_CTE}"
@@ -307,6 +326,13 @@ def oracle_queries() -> dict[str, str]:
         "er_uncertain_topk": f"{base},\n{_SCORE_CTE} "
                              "SELECT id1, id2, score, abs(score - 0.5) AS uncertainty "
                              "FROM scored ORDER BY abs(score - 0.5), id1, id2 LIMIT 20",
+        "er_pair_sample": (
+            f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
+            "SELECT block_key, id1, id2 FROM cand WHERE "
+            + _pair_sample_filter()),
+        "er_hash_split": (
+            f"WITH {PAGES_CTE} SELECT doc_id, " + _hash_split_case()
+            + " AS split FROM pages"),
         "er_snm_pairs": SNM_PAIRS_SQL_TMPL.format(pages=PAGES_CTE, norm=_NORM_CTE),
         "er_time_split": TIME_SPLIT_SQL_TMPL.format(pages=PAGES_CTE),
         "er_b3_blocks_vs_lang": B3_BLOCKS_SQL_TMPL.format(
@@ -599,6 +625,26 @@ FROM ranked
 """.strip()
 
 
+def pair_sample(sf_dir: str, rate: float = 0.25, seed: int = 23) -> ray.data.Dataset:
+    """Deterministic Bernoulli pair sample (reference ``random_sampling``,
+    /root/reference/s2and/sampling.py:97-115, made partition-invariant):
+    membership is md5(id1|id2|seed) — identical under any re-partitioning
+    and replayable in SQL (md5_number_lower)."""
+    from ..stages.sampling import pair_sample_stage
+
+    return pair_sample_stage(candidate_pairs_compact(sf_dir), rate, seed=seed)
+
+
+def hash_split(sf_dir: str, seed: int = 23) -> ray.data.Dataset:
+    """Deterministic 80/10/10 train/val/test split on doc_id (reference
+    fixed/hash splits, /root/reference/s2and/data.py:1042-1138)."""
+    from ..stages.sampling import hash_split_stage
+
+    pages = load_pages(sf_dir).select_columns(["doc_id"])
+    return hash_split_stage(
+        pages, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=seed)
+
+
 def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     """Reference-parity per-block average-linkage HAC cut at eps
     (rows-only: hierarchical agglomeration is not SQL-expressible)."""
@@ -608,34 +654,51 @@ def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     scored = scored_pairs(sf_dir)
     with_dist = scored.map_batches(
         apply_constraints_to_distance, batch_format="pyarrow")
-    clustered = hac_block_clustering(with_dist, eps=eps).to_pandas()
+    clustered = hac_block_clustering(with_dist, eps=eps)
     # singleton blocks never produce a pair row; they get label 0 in their
-    # own block (reference: singleton blocks → label 0, model.py:510-517)
-    blocks_df = blocked(sf_dir).select_columns(["doc_id", "block_key"]).to_pandas()
-    missing = blocks_df[~blocks_df["doc_id"].isin(clustered["id"])]
-    singletons = pd.DataFrame({
-        "id": missing["doc_id"],
-        "cluster_id": missing["block_key"].astype(str) + "_0",
-    })
-    out = pd.concat([clustered, singletons], ignore_index=True)
-    return ray.data.from_pandas(out.sort_values("id").reset_index(drop=True))
+    # own block (reference: singleton blocks → label 0, model.py:510-517).
+    # Expressed as a LEFT-ANTI hash join in the dataflow — no driver pull.
+    blocks = blocked(sf_dir).select_columns(["doc_id", "block_key"])
+    missing = blocks.join(
+        clustered.map_batches(
+            lambda df: pd.DataFrame({"__cid": df["id"]}), batch_format="pandas"),
+        "left_anti", num_partitions=8, on=("doc_id",), right_on=("__cid",))
+    singletons = missing.map_batches(
+        lambda df: pd.DataFrame({
+            "id": df["doc_id"],
+            "cluster_id": df["block_key"].astype(str) + "_0"}),
+        batch_format="pandas")
+    return clustered.union(singletons).sort("id")
 
 
-def scores_trained(sf_dir: str) -> ray.data.Dataset:
+def scores_trained(sf_dir: str, max_train_pairs: int = 50_000) -> ray.data.Dataset:
     """Trained-scorer path: fit the numpy logistic scorer on deterministic
-    self-labels (shingle_jaccard ≥ 0.5) over the candidate pairs, then serve
-    inference through the actor-pool stage (rows-only: model inference is
-    not SQL-expressible).  Demonstrates the reference's train-on-driver /
-    infer-distributed split (/root/reference/s2and/model.py:744-876)."""
+    self-labels (shingle_jaccard ≥ 0.5) over a BOUNDED training sample of the
+    candidate pairs, then serve inference through the actor-pool stage
+    (rows-only: model inference is not SQL-expressible).  Demonstrates the
+    reference's train-on-driver / infer-distributed split
+    (/root/reference/s2and/model.py:744-876) with its bounded training set
+    (≤100k pairs, e2e_scripts/preprocess_s2and_data.py:34-36): a
+    partition-invariant hash sample + balanced per-class cap — the full pair
+    set never reaches the driver."""
     from ..stages.features import FEATURE_COLS
+    from ..stages.sampling import balanced_sample, pair_sample_stage
     from ..stages.scoring import trained_scoring_stage
     from ..state.model import LogisticScorer
 
     feats = featurize_stage(candidate_pairs(sf_dir)).materialize()
-    train = feats.select_columns(FEATURE_COLS).to_pandas()
-    y = (train["shingle_jaccard"].fillna(0.0) >= GOLD_JACCARD).to_numpy(np.float64)
-    X = train[FEATURE_COLS].to_numpy(np.float64)
-    model = LogisticScorer(seed=17).fit(X, y)
+    n = feats.count()
+    rate = min(1.0, max_train_pairs / max(n, 1))
+    train = pair_sample_stage(
+        feats.select_columns(["id1", "id2", *FEATURE_COLS]), rate,
+        seed=23).to_pandas()
+    train["label"] = (train["shingle_jaccard"].fillna(0.0)
+                      >= GOLD_JACCARD).astype(np.float64)
+    train = balanced_sample(train, "label", max_train_pairs // 2,
+                            key_cols=["id1", "id2"], seed=29)
+    model = LogisticScorer(seed=17).fit(
+        train[FEATURE_COLS].to_numpy(np.float64),
+        train["label"].to_numpy(np.float64))
     scored = trained_scoring_stage(feats, model)
 
     def _proj(b: pa.Table) -> pa.Table:
@@ -650,13 +713,18 @@ def b3_blocks_vs_lang(sf_dir: str) -> pd.DataFrame:
     """Relational B³ with a full SQL twin: B³ of the key-block partition
     against the language partition (both sides SQL-derivable, so the whole
     metric pipeline — cells/sizes/joins/sums — is oracle-checked;
-    reference formulas /root/reference/s2and/eval.py:616-720)."""
-    b = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"]).to_pandas()
-    pred = b.rename(columns={"doc_id": "id", "block_key": "pred"})[["id", "pred"]]
-    gold = b.rename(columns={"doc_id": "id", "lang": "gold"})[["id", "gold"]]
-    p, r, f = b3_prf(pred, gold)
-    return pd.DataFrame({"b3_precision": [round(p, 6)], "b3_recall": [round(r, 6)],
-                         "b3_f1": [round(f, 6)]})
+    reference formulas /root/reference/s2and/eval.py:616-720).  Runs through
+    the DISTRIBUTED cells path — no per-mention driver pull."""
+    from ..eval.metrics import b3_dataset
+
+    b = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"])
+    pred = b.map_batches(
+        lambda df: pd.DataFrame({"id": df["doc_id"], "pred": df["block_key"]}),
+        batch_format="pandas")
+    gold = b.map_batches(
+        lambda df: pd.DataFrame({"id": df["doc_id"], "gold": df["lang"]}),
+        batch_format="pandas")
+    return b3_dataset(pred, gold)
 
 
 B3_BLOCKS_SQL_TMPL = """
@@ -764,17 +832,17 @@ def b3_by_lang_facet(sf_dir: str) -> pd.DataFrame:
     """Facet evaluation analog (reference ``facet_eval``, B³ broken down by
     facet columns, /root/reference/s2and/eval.py:196-427): per-language B³ of
     the key-block partition vs the brute-force gold components, one row per
-    facet value.  Rows-only (gold side is the non-SQL brute-force graph)."""
-    b = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"]).to_pandas()
-    gold = _gold_assignments(sf_dir).to_pandas().rename(
-        columns={"node": "doc_id", "label": "gold"})
-    j = b.merge(gold, on="doc_id")
-    rows = []
-    for lang, grp in j.groupby("lang", sort=True):
-        pred = grp.rename(columns={"doc_id": "id", "block_key": "pred"})[["id", "pred"]]
-        g = grp.rename(columns={"doc_id": "id"})[["id", "gold"]]
-        p, r, f = b3_prf(pred, g)
-        rows.append({"lang": lang, "n_docs": len(grp),
-                     "b3_precision": round(p, 6), "b3_recall": round(r, 6),
-                     "b3_f1": round(f, 6)})
-    return pd.DataFrame(rows)
+    facet value.  Rows-only (gold side is the non-SQL brute-force graph).
+    One distributed cells pass keyed by the facet — per-mention tables never
+    reach the driver."""
+    from ..eval.metrics import facet_metrics_dataset
+
+    pred = blocked(sf_dir).select_columns(["doc_id", "block_key", "lang"]).map_batches(
+        lambda df: pd.DataFrame({"id": df["doc_id"], "pred": df["block_key"],
+                                 "lang": df["lang"]}),
+        batch_format="pandas")
+    gold = _gold_assignments(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"id": df["node"], "gold": df["label"]}),
+        batch_format="pandas")
+    return facet_metrics_dataset(pred, gold, facet_col="lang")[
+        ["lang", "n_docs", "b3_precision", "b3_recall", "b3_f1"]]

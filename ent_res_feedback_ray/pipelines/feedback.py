@@ -30,22 +30,24 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..eval.metrics import b3_prf, pairwise_prf
+from ..eval.metrics import cluster_metrics_dataset
 from ..stages.features import FEATURE_COLS
 from ..state.checkpoint import is_complete, mark_success, stage_dir, write_checkpoint
-from ..state.model import LogisticScorer
+from ..state.model import LogisticScorer, auroc
 from .er import resolve_pages
 
 
-def _assign_quality(assign_df: pd.DataFrame, gold: pd.DataFrame) -> dict:
-    pred = assign_df.rename(columns={"node": "id", "label": "pred"})
-    g = gold.rename(columns={"doc_id": "id", "gold_entity_id": "gold"})
-    pp, pr, pf = pairwise_prf(pred, g)
-    bp, br, bf = b3_prf(pred, g)
-    return {
-        "pair_precision": pp, "pair_recall": pr, "pair_f1": pf,
-        "b3_precision": bp, "b3_recall": br, "b3_f1": bf,
-    }
+def _assign_quality(assignments: ray.data.Dataset, gold: pd.DataFrame) -> dict:
+    """Clustering quality vs gold — the per-mention join/aggregate runs
+    DISTRIBUTED (eval.metrics.cells_dataset); assignments never hit the
+    driver."""
+    pred = assignments.map_batches(
+        lambda df: pd.DataFrame({"id": df["node"], "pred": df["label"]}),
+        batch_format="pandas")
+    g = ray.data.from_pandas(
+        gold.rename(columns={"doc_id": "id", "gold_entity_id": "gold"})
+        [["id", "gold"]].reset_index(drop=True))
+    return cluster_metrics_dataset(pred, g)
 
 
 def run_feedback_rounds(
@@ -102,8 +104,7 @@ def run_feedback_rounds(
         write_checkpoint(assignments, stage_dir(out_dir, rnd, "assignments"))
         write_checkpoint(result["counters"], stage_dir(out_dir, rnd, "counters"))
 
-        assign_df = assignments.to_pandas()
-        metrics = _assign_quality(assign_df, gold)
+        metrics = _assign_quality(assignments, gold)
         metrics["round"] = rnd
         metrics["n_labels"] = int(len(labels))
 
@@ -136,11 +137,26 @@ def run_feedback_rounds(
             [labels, revealed[["id1", "id2", "label", *FEATURE_COLS]]],
             ignore_index=True)
 
-        # 6. retrain scorer on accumulated labels (driver-side; bounded)
-        if labels["label"].nunique() > 1:
-            X = labels[FEATURE_COLS].to_numpy(dtype=np.float64)
-            y = labels["label"].to_numpy(dtype=np.float64)
+        # 6. retrain scorer on the TRAIN carve of the accumulated labels
+        # (deterministic hash split on the pair key — the val carve is held
+        # out so val_auroc measures generalization, not memorization;
+        # reference fixed-split analog /root/reference/s2and/data.py:1042-1138)
+        from ..stages.sampling import md5_mod
+
+        h = md5_mod([f"{a}|{b}|{seed}" for a, b in
+                     zip(labels["id1"], labels["id2"])])
+        is_train = h < 800_000  # 80/20 train/val
+        tr, va = labels[is_train], labels[~is_train]
+        if tr["label"].nunique() > 1:
+            X = tr[FEATURE_COLS].to_numpy(dtype=np.float64)
+            y = tr["label"].to_numpy(dtype=np.float64)
             model = LogisticScorer(seed=seed).fit(X, y)
+            if len(va) and va["label"].nunique() > 1:
+                metrics["val_auroc"] = float(auroc(
+                    va["label"].to_numpy(np.float64),
+                    model.predict_proba(
+                        np.nan_to_num(va[FEATURE_COLS].to_numpy(np.float64),
+                                      nan=model.nan_fill))))
 
         # 7. round checkpoint
         os.makedirs(rdir, exist_ok=True)

@@ -175,52 +175,92 @@ def incremental_assign(
     Returns the combined assignment DataFrame (node, label) — old
     assignments are FROZEN (never change), per reference semantics.
 
-    The aggregation runs on the driver over the (bounded) scored candidate
-    set; at scale the mean-score-per-cluster groupby becomes a
-    bucketed_aggregate and the argmax a second one — same shape as the
-    lineage counters.
+    Distributed shape: the old-label map + new-id set broadcast once
+    (``ray.put``); candidate rows reduce to per-(new_id, cluster) partial
+    (sum, count) inside ``map_batches``; the mean + argmax are two bucketed
+    wide ops.  Only the ≤|new_ids| assignment rows and the leftover edge
+    list reach the driver — never the scored pair set.
     """
-    old_label = dict(zip(existing["node"], existing["label"]))
-    new_set = set(new_ids["node"].tolist())
-    sp = scored_new_pairs.to_pandas()
-    if "constraint" in sp.columns:
-        cons = sp["constraint"].to_numpy(dtype=np.float64)
-        keep = np.isnan(cons) | (cons == 0.0)
-        sp = sp[keep]
+    import ray as _ray
 
-    # direction: candidate rows (new_id, old_id) in either order
-    rows = []
-    for i1, i2, s in zip(sp["id1"], sp["id2"], sp[score_col]):
-        in1, in2 = i1 in new_set, i2 in new_set
-        if in1 and not in2 and i2 in old_label:
-            rows.append((i1, old_label[i2], s))
-        elif in2 and not in1 and i1 in old_label:
-            rows.append((i2, old_label[i1], s))
-    assigned: dict = {}
-    if rows:
-        cand = pd.DataFrame(rows, columns=["new_id", "cluster", "score"])
-        means = cand.groupby(["new_id", "cluster"], as_index=False)["score"].mean()
-        means = means.sort_values(["new_id", "score", "cluster"],
-                                  ascending=[True, False, True], kind="mergesort")
-        best = means.groupby("new_id", as_index=False).head(1)
-        ok = best[best["score"] >= threshold]
-        assigned = dict(zip(ok["new_id"], ok["cluster"]))
+    from .shuffleops import _broadcast_get, bucketed_aggregate, bucketed_group_apply
 
-    # leftovers: transitive closure among new-new edges
-    leftovers = sorted(new_set - set(assigned))
-    nn = sp[(sp["id1"].isin(leftovers)) & (sp["id2"].isin(leftovers))
-            & (sp[score_col] >= threshold)]
+    old_nodes = existing["node"].to_numpy(np.int64)
+    order = np.argsort(old_nodes, kind="stable")
+    old_nodes = old_nodes[order]
+    old_labels = existing["label"].to_numpy(np.int64)[order]
+    new_sorted = np.sort(new_ids["node"].to_numpy(np.int64))
+    side_ref = _ray.put((old_nodes, old_labels, new_sorted))
+
+    def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_arr, vals)
+        pos_c = np.minimum(pos, max(len(sorted_arr) - 1, 0))
+        if len(sorted_arr) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        return sorted_arr[pos_c] == vals
+
+    def _keep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "constraint" in df.columns:
+            cons = df["constraint"].to_numpy(dtype=np.float64)
+            df = df[np.isnan(cons) | (cons == 0.0)]
+        return df
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        nodes, labels, news = _broadcast_get(side_ref)
+        df = _keep_rows(df)
+        i1 = df["id1"].to_numpy(np.int64)
+        i2 = df["id2"].to_numpy(np.int64)
+        s = df[score_col].to_numpy(np.float64)
+        in1, in2 = _member(news, i1), _member(news, i2)
+        old1, old2 = _member(nodes, i1), _member(nodes, i2)
+        a = in1 & ~in2 & old2   # (new=id1, old=id2)
+        b = in2 & ~in1 & old1
+        new_id = np.concatenate([i1[a], i2[b]])
+        old_id = np.concatenate([i2[a], i1[b]])
+        sc = np.concatenate([s[a], s[b]])
+        lbl = labels[np.searchsorted(nodes, old_id)]
+        part = pd.DataFrame({"new_id": new_id, "cluster": lbl, "s": sc})
+        return part.groupby(["new_id", "cluster"], as_index=False).agg(
+            s=("s", "sum"), c=("s", "size"))
+
+    partials = scored_new_pairs.map_batches(_cand, batch_format="pandas")
+    agg = bucketed_aggregate(partials, ["new_id", "cluster"],
+                             s=("s", "sum"), c=("c", "sum"))
+
+    def _best(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.assign(mean=part["s"] / part["c"])
+        part = part.sort_values(["new_id", "mean", "cluster"],
+                                ascending=[True, False, True], kind="mergesort")
+        best = part.groupby("new_id", as_index=False).head(1)
+        return best[best["mean"] >= threshold][["new_id", "cluster"]]
+
+    assigned_df = bucketed_group_apply(agg, "new_id", _best).to_pandas()
+    assigned = dict(zip(assigned_df["new_id"], assigned_df["cluster"]))
+
+    # leftovers: transitive closure among new-new edges (edge FILTER runs in
+    # the dataflow; only surviving edges reach the driver union-find)
+    leftovers = np.setdiff1d(new_sorted,
+                             assigned_df["new_id"].to_numpy(np.int64))
+    lo_ref = _ray.put(leftovers)
+
+    def _nn_edges(df: pd.DataFrame) -> pd.DataFrame:
+        lo = _broadcast_get(lo_ref)
+        df = _keep_rows(df)
+        i1 = df["id1"].to_numpy(np.int64)
+        i2 = df["id2"].to_numpy(np.int64)
+        s = df[score_col].to_numpy(np.float64)
+        keep = _member(lo, i1) & _member(lo, i2) & (s >= threshold)
+        return pd.DataFrame({"id1": i1[keep], "id2": i2[keep]})
+
+    nn = scored_new_pairs.map_batches(_nn_edges, batch_format="pandas").to_pandas()
     from ..state.unionfind import unionfind_labels
 
-    nodes = np.array(leftovers, dtype=np.int64)
     n_arr, l_arr = unionfind_labels(
-        nn["id1"].to_numpy(np.int64), nn["id2"].to_numpy(np.int64), nodes)
-    out = existing.copy()
+        nn["id1"].to_numpy(np.int64), nn["id2"].to_numpy(np.int64), leftovers)
+    ak = np.sort(assigned_df["new_id"].to_numpy(np.int64))
     add = pd.DataFrame({
-        "node": np.concatenate([np.array(sorted(assigned), dtype=np.int64), n_arr])
-        if assigned else n_arr,
+        "node": np.concatenate([ak, n_arr]),
         "label": np.concatenate([
-            np.array([assigned[k] for k in sorted(assigned)], dtype=np.int64),
-            l_arr]) if assigned else l_arr,
+            np.array([assigned[k] for k in ak], dtype=np.int64), l_arr]),
     })
-    return pd.concat([out, add], ignore_index=True)
+    return pd.concat([existing.copy(), add], ignore_index=True)
