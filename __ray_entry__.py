@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        "er_ref_stats": er.ref_stats,
         "er_pair_sample": er.pair_sample,
         "er_hash_split": er.hash_split,
         "er_snm_pairs": er.snm_pairs,
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
+        "lineitem_order_priority": relational.lineitem_order_priority,
         "high_value_purchases": relational.high_value_purchases,
         "purchases_asof_signup": relational.purchases_asof_signup,
         # --- text analysis (task brief: training-data pipeline ops) ---
@@ -96,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "purchases_asof_signup": relational.PURCHASES_ASOF_SQL,
         "token_document_frequency": textstats.TOKEN_DF_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
+        "lineitem_order_priority": relational.LINEITEM_ORDER_PRIORITY_SQL,
         "high_value_purchases": relational.HIGH_VALUE_SQL,
         "doc_token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_quality": textstats.QUALITY_SQL,

@@ -326,6 +326,7 @@ def oracle_queries() -> dict[str, str]:
         "er_uncertain_topk": f"{base},\n{_SCORE_CTE} "
                              "SELECT id1, id2, score, abs(score - 0.5) AS uncertainty "
                              "FROM scored ORDER BY abs(score - 0.5), id1, id2 LIMIT 20",
+        "er_ref_stats": REF_STATS_SQL_TMPL.format(pages=PAGES_CTE, norm=_NORM_CTE),
         "er_pair_sample": (
             f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
             "SELECT block_key, id1, id2 FROM cand WHERE "
@@ -622,6 +623,98 @@ SELECT doc_id,
   CASE WHEN rn <= greatest(1, CAST(floor(n * 0.8) AS BIGINT))
        THEN 'train' ELSE 'test' END AS split
 FROM ranked
+""".strip()
+
+
+def ref_stats(sf_dir: str, fanout: int = 3,
+              broadcast_limit: int = 0) -> ray.data.Dataset:
+    """Reference-details aggregation — the graft analog of the reference's
+    papers⋈references⋈papers self-join (``preprocess_paper_2`` +
+    ``MiniPapers``, /root/reference/s2and/data.py:1752-1790,1827-1849):
+    derive an outlink relation (each page "links to" the next ``fanout``
+    pages of its language, rank-ordered by doc_id — deterministic and
+    SQL-replayable), join the linked pages' attributes back on, and
+    aggregate per source page.
+
+    ``broadcast_limit=0`` FORCES ``attach_attrs`` down its bucketed cogroup
+    branch — this query provably runs the large-large shuffle-join plan (the
+    broadcast branch is exercised by every other featurizer query)."""
+    from ..functions.textnorm import token_count_array
+    from ..stages.shuffleops import attach_attrs, bucketed_aggregate, bucketed_group_apply
+
+    norm = pages_normalized(sf_dir).select_columns(["doc_id", "lang", "norm_text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        counts = token_count_array(t.column("norm_text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "tok": counts.cast(pa.int64()),
+        })
+
+    docs = norm.map_batches(_tok, batch_format="pyarrow")
+
+    def _links(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["lang", "doc_id"], kind="mergesort")
+        codes, _ = pd.factorize(part["lang"], sort=False)
+        ids = part["doc_id"].to_numpy(np.int64)
+        srcs, dsts = [], []
+        for d in range(1, fanout + 1):
+            idx = np.arange(0, len(part) - d)
+            same = codes[idx] == codes[idx + d]
+            srcs.append(ids[idx[same]])
+            dsts.append(ids[idx[same] + d])
+        if not srcs:
+            return pd.DataFrame({"id1": np.empty(0, np.int64),
+                                 "id2": np.empty(0, np.int64)})
+        return pd.DataFrame({"id1": np.concatenate(srcs),
+                             "id2": np.concatenate(dsts)})
+
+    links = bucketed_group_apply(docs.select_columns(["doc_id", "lang"]),
+                                 "lang", _links)
+    wide = attach_attrs(links, docs.select_columns(["doc_id", "tok"]),
+                        id_col="doc_id", attr_cols=["tok"],
+                        broadcast_limit=broadcast_limit)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("id1", as_index=False).agg(
+            n_refs=("tok2", "size"), ref_tokens=("tok2", "sum"),
+            first_ref=("id2", "min"))
+
+    partials = wide.map_batches(_partial, batch_format="pandas")
+    agg = bucketed_aggregate(partials, "id1",
+                             n_refs=("n_refs", "sum"),
+                             ref_tokens=("ref_tokens", "sum"),
+                             first_ref=("first_ref", "min"))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "src": df["id1"], "n_refs": df["n_refs"],
+            "ref_tokens": df["ref_tokens"],
+            "avg_ref_tokens": df["ref_tokens"] / df["n_refs"],
+            "first_ref": df["first_ref"]}),
+        batch_format="pandas")
+
+
+REF_STATS_SQL_TMPL = """
+WITH {pages},
+{norm},
+d AS (
+  SELECT doc_id, lang,
+    CASE WHEN norm_text = '' THEN 0
+         ELSE len(string_split(norm_text, ' ')) END AS tok
+  FROM norm
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM d
+),
+links AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, b.tok AS dst_tok
+  FROM r a JOIN r b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3
+)
+SELECT src, count(*) AS n_refs, sum(dst_tok) AS ref_tokens,
+       CAST(sum(dst_tok) AS DOUBLE) / count(*) AS avg_ref_tokens,
+       min(dst) AS first_ref
+FROM links GROUP BY src
 """.strip()
 
 

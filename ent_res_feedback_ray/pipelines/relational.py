@@ -145,6 +145,45 @@ GROUP BY n.n_name
 
 
 # ---------------------------------------------------------------------------
+# Large ⋈ large shuffle join: lineitem ⋈ orders (both fact-sized)
+# ---------------------------------------------------------------------------
+
+def lineitem_order_priority(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Revenue per order priority via a TRUE shuffle hash join — neither side
+    broadcasts (lineitem and orders are both fact tables; at 100 TB each side
+    hash-partitions on the order key and only co-partitioned blocks meet).
+    Post-join aggregation is map-side partial per batch → tiny groupby."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, "inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+
+    partials = j.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"))
+    return out.map_batches(
+        lambda df: df.assign(revenue=np.round(df["revenue"], 2)),
+        batch_format="pandas")
+
+
+LINEITEM_ORDER_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Global top-k (sort + limit)
 # ---------------------------------------------------------------------------
 
