@@ -74,9 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_dup_pairs,
+        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         # --- multimodal plumbing ---
         "pages_binary_metadata": multimodal.pages_binary_metadata,

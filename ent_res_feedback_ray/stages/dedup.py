@@ -316,3 +316,68 @@ SELECT a.vec_id AS id1, b.vec_id AS id2
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """.strip()
+
+
+def embedding_dup_pairs_ivf(sf_dir: str, threshold: float = 0.45,
+                            n_centroids: int = 8, nprobe: int = 3,
+                            seed: int = 42) -> ray.data.Dataset:
+    """IVF-bucketed embedding near-dup — the 100-TB path for
+    ``embedding_dup_pairs``: every vector lands in its ``nprobe`` nearest
+    coarse-centroid buckets (multi-probe covers boundary pairs), candidate
+    pairs are generated WITHIN a bucket only (groupby shuffle, per-bucket
+    GEMM), verified against the exact cosine threshold, then deduped across
+    buckets.  No whole-table broadcast, no driver materialization.
+
+    Partitioning assumption: a bucket (≈ nprobe·n/k rows) fits one group.
+    Rows-only (probabilistic recall; the exact broadcast operator is the
+    small-scale oracle — recall pinned ≥0.9 by pytest)."""
+    import ray as _ray
+
+    from .shuffleops import bucketed_group_apply
+    from ..stages.similarity import train_centroids
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = train_centroids(emb, k=n_centroids, n_iter=5, seed=seed)
+    cref = _ray.put(C)
+
+    class AssignExplode:
+        def __init__(self):
+            self.C = _ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy(np.int64)
+            M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Mn @ self.C.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(ids)
+            return pd.DataFrame({
+                "bucket": top.ravel().astype(np.int64),
+                "vec_id": np.repeat(ids, nprobe),
+                "embedding": df["embedding"].to_numpy().repeat(nprobe),
+            })
+
+    exploded = emb.map_batches(AssignExplode, batch_format="pandas",
+                               concurrency=(1, 4), batch_size=2048)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, grp in g.groupby("bucket", sort=False):
+            ids = grp["vec_id"].to_numpy(np.int64)
+            M = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = M @ M.T
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = ids[rows] < ids[cols]
+            parts.append(pd.DataFrame({
+                "id1": ids[rows][keep], "id2": ids[cols][keep]}))
+        if not parts:
+            return pd.DataFrame({"id1": np.empty(0, np.int64),
+                                 "id2": np.empty(0, np.int64)})
+        return pd.concat(parts, ignore_index=True)
+
+    cand = bucketed_group_apply(exploded, "bucket", _bucket_pairs,
+                                num_buckets=8)
+    from .pairs import dedup_pairs
+
+    return dedup_pairs(cand)

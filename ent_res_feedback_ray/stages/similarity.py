@@ -38,7 +38,9 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.dat
     GEMM and emits its local candidates; the global top-k per query is a
     small sort over n_batches×k rows."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.to_pandas().nsmallest(n_queries, "vec_id")
+    # query selection: sort + limit INSIDE the dataflow — only n_queries rows
+    # reach the driver, never the table
+    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
     qids, Q = _normalized_matrix(qdf)
     qref = ray.put((qids, Q))
 
@@ -112,11 +114,11 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     Recall is probabilistic (rows-only check; the brute-force twin above is
     the exactness oracle)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = emb.to_pandas()
-    dim = len(first["embedding"].iloc[0])
+    # dim from ONE row; queries via sort+limit — no full-table driver pull
+    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    dim = len(qdf["embedding"].iloc[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
-    qdf = first.nsmallest(n_queries, "vec_id")
     qids, Q = _normalized_matrix(qdf)
     shared = ray.put((planes, qids, Q))
 
@@ -165,16 +167,16 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
-def embedding_centroids(sf_dir: str, n_iter: int = 10, k: int = 10,
-                        seed: int = 42) -> ray.data.Dataset:
-    """Distributed k-means (IVF coarse quantizer training): per-batch partial
-    assignment + centroid sums, driver reduces — the centroid table is the
-    IVF index the ANN scale path partitions by.  Deterministic seeding."""
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    sample = emb.to_pandas()
-    ids, M = _normalized_matrix(sample)
+def train_centroids(emb: ray.data.Dataset, k: int = 10, n_iter: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Distributed k-means (IVF coarse quantizer training): init from a
+    BOUNDED sort+limit sample (first ~32k ids — never the whole table),
+    then per-batch partial assignment + centroid sums with a driver reduce
+    over k rows per batch.  Deterministic seeding."""
+    sample = emb.sort("vec_id").limit(max(32 * k, 1024)).to_pandas()
+    _, M = _normalized_matrix(sample)
     rng = np.random.default_rng(seed)
-    centroids = M[rng.choice(len(M), size=k, replace=False)]
+    centroids = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
     for _ in range(n_iter):
         cref = ray.put(centroids)
 
@@ -195,7 +197,7 @@ def embedding_centroids(sf_dir: str, n_iter: int = 10, k: int = 10,
         parts = emb.map_batches(Partial, batch_format="pandas",
                                 batch_size=2048, concurrency=(1, 2)).to_pandas()
         new_c = centroids.copy()
-        for c in range(k):
+        for c in range(len(centroids)):
             rows = parts[parts["centroid"] == c]
             if len(rows):
                 total = np.sum(np.stack(rows["vecsum"].to_numpy()), axis=0)
@@ -203,8 +205,80 @@ def embedding_centroids(sf_dir: str, n_iter: int = 10, k: int = 10,
                 v = total / n
                 new_c[c] = v / max(np.linalg.norm(v), 1e-12)
         centroids = new_c
+    return centroids
+
+
+def embedding_centroids(sf_dir: str, n_iter: int = 10, k: int = 10,
+                        seed: int = 42) -> ray.data.Dataset:
+    """Centroid table of the IVF coarse quantizer (see ``train_centroids``)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = train_centroids(emb, k=k, n_iter=n_iter, seed=seed)
     out = pd.DataFrame({
-        "centroid_id": np.arange(k, dtype=np.int64),
+        "centroid_id": np.arange(len(centroids), dtype=np.int64),
         "centroid": [c.tolist() for c in centroids],
     })
     return ray.data.from_pandas(out)
+
+
+def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
+                 n_centroids: int = 8, nprobe: int = 4, n_assign: int = 2,
+                 seed: int = 42) -> ray.data.Dataset:
+    """IVF-partitioned approximate top-k — the ANN scale path: corpus rows
+    are assigned to their ``n_assign`` nearest coarse centroids per batch
+    (multi-assign covers bucket-boundary neighbors); each query only GEMMs
+    against rows whose buckets intersect its ``nprobe`` closest centroids.
+    At 100 TB the corpus is written partitioned by bucket (×n_assign
+    amplification) and only probed partitions are read; here the bucket
+    filter runs per batch (same arithmetic, streaming form).  Rows-only
+    (probabilistic recall; ``ann_topk`` is the exactness oracle — recall
+    ≥0.9 pinned by pytest)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = train_centroids(emb, k=n_centroids, n_iter=5, seed=seed)
+    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    qids, Q = _normalized_matrix(qdf)
+    probed = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # [nq, nprobe]
+    shared = ray.put((C, qids, Q, probed))
+
+    class BucketTopK:
+        def __init__(self):
+            self.C, self.qids, self.Q, self.probed = ray.get(shared)
+            nq = len(self.qids)
+            self.probe_mask = np.zeros((nq, len(self.C)), dtype=bool)
+            self.probe_mask[np.repeat(np.arange(nq), self.probed.shape[1]),
+                            self.probed.ravel()] = True
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, M = _normalized_matrix(df)
+            assign = np.argsort(-(M @ self.C.T), axis=1)[:, :n_assign]
+            hit = np.zeros((len(self.qids), len(ids)), dtype=bool)
+            for a in range(n_assign):
+                hit |= self.probe_mask[:, assign[:, a]]  # [nq, batch]
+            out = []
+            for qi in range(len(self.qids)):
+                cand = np.nonzero(hit[qi] & (ids != self.qids[qi]))[0]
+                if len(cand) == 0:
+                    continue
+                sims = self.Q[qi] @ M[cand].T
+                order = np.lexsort((ids[cand], -sims))[:k]
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "neighbor_id": ids[cand][order],
+                    "cosine": sims[order],
+                }))
+            if not out:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                     "cosine": []})
+            return pd.concat(out, ignore_index=True)
+
+    local = emb.map_batches(BucketTopK, batch_format="pandas",
+                            concurrency=(1, 4), batch_size=2048)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(global_topk,
+                                                batch_format="pandas")
