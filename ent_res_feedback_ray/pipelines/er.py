@@ -366,6 +366,7 @@ def resolve_pages(
     use_lsh: bool = True,
     threshold: float = SCORE_THRESHOLD,
     seeds: dict | None = None,
+    alias_pairs=None,
     max_pairs_per_block: int = 100_000,
     num_perm: int = 64,
     num_bands: int = 16,
@@ -452,7 +453,8 @@ def resolve_pages(
 
         sig = build_doc_signatures(norm)
         sig_ref = _ray.put(sig)
-        scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds)
+        scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds,
+                                          alias_pairs=alias_pairs)
         if model is not None:
             scored = trained_scoring_stage(
                 scored.drop_columns(["score"]), model,
@@ -473,7 +475,7 @@ def resolve_pages(
         else:
             scored = trained_scoring_stage(feats, model,
                                            concurrency=scorer_concurrency)
-        scored = constraint_stage(scored, seeds=seeds)
+        scored = constraint_stage(scored, seeds=seeds, alias_pairs=alias_pairs)
         # project the (wide) text payload away before materializing
         scored = scored.select_columns(keep).materialize()
 
@@ -878,12 +880,14 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
         pd.DataFrame({"doc_id": combined["node"], "cluster_id": combined["label"]}))
 
 
-def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> pd.DataFrame:
+def feedback_metrics(sf_dir: str, n_rounds: int = 3, k_per_round: int = 100) -> pd.DataFrame:
     """The namesake feedback loop as a driver-visible query (rows-only):
     run ``n_rounds`` checkpointed rounds over the derived pages table with
-    the brute-force shingle components as gold, return per-round metrics
-    (round, n_labels, pair_f1, b3_f1).  Deterministic; checkpoints live
-    under /tmp keyed by the input dir, so re-runs resume instantly."""
+    the brute-force shingle components as gold — uncertain-pair label
+    revelation + retraining AND ECC-style constraint synthesis from the
+    gold/pred cluster diff each round.  Returns per-round metrics
+    (round, n_labels, n_seeds, pair_f1, b3_f1).  Deterministic; checkpoints
+    live under /tmp keyed by input-content fingerprint, so re-runs resume."""
     import hashlib as _hl
     import os as _os
 
@@ -914,8 +918,10 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 2, k_per_round: int = 100) -> 
     history = run_feedback_rounds(
         pages_path, gold_path, _os.path.join(work, "rounds"),
         n_rounds=n_rounds, k_per_round=k_per_round,
+        constraints_per_round=10,
         resolve_kwargs={"use_key_blocks": True, "use_lsh": True})
-    out = pd.DataFrame(history)[["round", "n_labels", "pair_f1", "b3_f1"]]
+    out = pd.DataFrame(history)[["round", "n_labels", "n_seeds",
+                                 "pair_f1", "b3_f1"]]
     out["pair_f1"] = np.round(out["pair_f1"], 6)
     out["b3_f1"] = np.round(out["b3_f1"], 6)
     return out

@@ -50,6 +50,61 @@ def _assign_quality(assignments: ray.data.Dataset, gold: pd.DataFrame) -> dict:
     return cluster_metrics_dataset(pred, g)
 
 
+def synthesize_constraint_seeds(assignments: ray.data.Dataset,
+                                gold: pd.DataFrame,
+                                max_each: int = 5) -> dict:
+    """ECC-style constraint synthesis from the gold/pred cluster DIFF
+    (reference picks an exists-constraint from the diff between predicted
+    and gold clusterings, /root/reference/ecc/ecc.py:615-866; re-expressed
+    per the north rule as pairwise require/disallow seeds):
+
+    - a gold cluster split across predicted clusters → a REQUIRE seed
+      between the two largest fragments' representative docs;
+    - a predicted cluster merging several gold clusters → a DISALLOW seed
+      between the two largest merged groups' representatives.
+
+    The (pred, gold, n, rep_doc) cell table is computed DISTRIBUTED (hash
+    join + bucketed aggregate); only the |cells| rows reach the driver."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    pred = assignments.map_batches(
+        lambda df: pd.DataFrame({"id": df["node"], "pred": df["label"]}),
+        batch_format="pandas")
+    g = ray.data.from_pandas(
+        gold.rename(columns={"doc_id": "__gid", "gold_entity_id": "gold"})
+        [["__gid", "gold"]].reset_index(drop=True))
+    j = pred.join(g, "inner", num_partitions=8, on=("id",), right_on=("__gid",))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["pred", "gold"], as_index=False).agg(
+            n_cell=("id", "size"), rep=("id", "min"))
+
+    cells = bucketed_aggregate(
+        j.map_batches(_partial, batch_format="pandas"), ["pred", "gold"],
+        n_cell=("n_cell", "sum"), rep=("rep", "min")).to_pandas()
+
+    seeds: dict = {}
+    # splits → require
+    for gold_id, grp in sorted(
+            cells.groupby("gold"), key=lambda kv: (-len(kv[1]), kv[0])):
+        if len(seeds) >= max_each or len(grp) < 2:
+            break
+        top = grp.sort_values(["n_cell", "rep"], ascending=[False, True]).head(2)
+        a, b = sorted(int(x) for x in top["rep"])
+        seeds[(a, b)] = "require"
+    n_req = len(seeds)
+    # merges → disallow
+    for pred_id, grp in sorted(
+            cells.groupby("pred"), key=lambda kv: (-len(kv[1]), str(kv[0]))):
+        if len(seeds) >= n_req + max_each or len(grp) < 2:
+            break
+        top = grp.sort_values(["n_cell", "rep"], ascending=[False, True]).head(2)
+        a, b = sorted(int(x) for x in top["rep"])
+        if (a, b) not in seeds:
+            seeds[(a, b)] = "disallow"
+    return seeds
+
+
 def run_feedback_rounds(
     pages_path: str,
     gold_path: str,
@@ -59,6 +114,7 @@ def run_feedback_rounds(
     threshold: float = 0.5,
     seed: int = 17,
     resolve_kwargs: dict | None = None,
+    constraints_per_round: int = 0,
 ) -> list[dict]:
     """Run (or resume) the feedback loop; returns per-round metric dicts.
 
@@ -79,6 +135,7 @@ def run_feedback_rounds(
 
     model: LogisticScorer | None = None
     labels = pd.DataFrame(columns=["id1", "id2", "label", *FEATURE_COLS])
+    seeds: dict = {}
     history: list[dict] = []
 
     for rnd in range(n_rounds):
@@ -86,17 +143,22 @@ def run_feedback_rounds(
         label_path = os.path.join(rdir, "labels.parquet")
         model_path = os.path.join(rdir, "model.npz")
         metrics_path = os.path.join(rdir, "metrics.json")
+        seeds_path = os.path.join(rdir, "seeds.json")
         if is_complete(rdir):
-            # resume: reload accumulated labels + model, skip the round
+            # resume: reload accumulated labels + model + seeds, skip round
             labels = pd.read_parquet(label_path)
             if os.path.exists(model_path):
                 model = LogisticScorer.load(model_path)
+            if os.path.exists(seeds_path):
+                with open(seeds_path) as f:
+                    seeds = {(int(a), int(b)): v
+                             for a, b, v in json.load(f)}
             with open(metrics_path) as f:
                 history.append(json.load(f))
             continue
 
         result = resolve_pages(pages, model=model, threshold=threshold,
-                               **resolve_kwargs)
+                               seeds=seeds or None, **resolve_kwargs)
         scored = result["scored"]
         assignments = result["assignments"]
 
@@ -107,6 +169,13 @@ def run_feedback_rounds(
         metrics = _assign_quality(assignments, gold)
         metrics["round"] = rnd
         metrics["n_labels"] = int(len(labels))
+        metrics["n_seeds"] = int(len(seeds))
+
+        # ECC-style constraint synthesis: seeds from this round's gold/pred
+        # cluster diff apply from the NEXT round on
+        if constraints_per_round:
+            seeds.update(synthesize_constraint_seeds(
+                assignments, gold, max_each=constraints_per_round))
 
         # 4. global top-k uncertain pairs (exclude already-labeled)
         scored_pd_cols = ["id1", "id2", "score", *FEATURE_COLS]
@@ -161,6 +230,8 @@ def run_feedback_rounds(
         # 7. round checkpoint
         os.makedirs(rdir, exist_ok=True)
         labels.to_parquet(label_path, index=False)
+        with open(seeds_path, "w") as f:
+            json.dump([[a, b, v] for (a, b), v in sorted(seeds.items())], f)
         if model is not None:
             model.save(model_path)
         with open(metrics_path, "w") as f:

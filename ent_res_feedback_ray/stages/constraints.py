@@ -29,16 +29,35 @@ DISALLOW = 1.0e4
 REQUIRE = 0.0
 
 
+def canonical_alias_set(pairs) -> frozenset:
+    """Canonicalize an alias side-input: unordered token pairs."""
+    return frozenset(tuple(sorted((a, b))) for a, b in (pairs or ()))
+
+
+def first_token_array(norms: np.ndarray) -> np.ndarray:
+    out = np.empty(len(norms), dtype=object)
+    for i, s in enumerate(norms):
+        out[i] = s.split(" ", 1)[0] if s else ""
+    return out
+
+
 def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
                      lang_rule: bool = True,
-                     exact_text_rule: bool = True) -> ray.data.Dataset:
-    """Stateless vectorized constraint stage.  Seeds are broadcast via
-    ``ray.put`` once; each task reads them zero-copy from the local object
-    store (the dict is tiny by construction)."""
+                     exact_text_rule: bool = True,
+                     alias_pairs=None) -> ray.data.Dataset:
+    """Stateless vectorized constraint stage.  Seeds and the alias set are
+    broadcast via ``ray.put`` once; each task reads them zero-copy from the
+    local object store (both are tiny by construction).
+
+    Precedence (highest wins; applied lowest-first so later writes win):
+    seeds > exact-text > alias (known-compatible leading tokens → require)
+    > language."""
     seeds_ref = ray.put(seeds or {})
+    alias_ref = ray.put(canonical_alias_set(alias_pairs))
 
     def _constraints(batch: pa.Table) -> pa.Table:
         seed_map = ray.get(seeds_ref)
+        aliases = ray.get(alias_ref)
         n = batch.num_rows
         out = np.full(n, np.nan)
         lang1 = batch.column("lang1").to_numpy(zero_copy_only=False)
@@ -48,6 +67,13 @@ def constraint_stage(ds: ray.data.Dataset, seeds: dict | None = None,
         lang_eq = lang1 == lang2
         if lang_rule:
             out[~lang_eq] = DISALLOW
+        if aliases:
+            f1 = first_token_array(norm1)
+            f2 = first_token_array(norm2)
+            is_alias = np.fromiter(
+                (tuple(sorted((a, b))) in aliases for a, b in zip(f1, f2)),
+                dtype=bool, count=n)
+            out[is_alias] = REQUIRE
         if exact_text_rule:
             exact = (norm1 == norm2) & (norm1 != "") & lang_eq
             out[exact] = REQUIRE

@@ -272,6 +272,7 @@ def featurize_and_score_fast(
     seeds: dict | None = None,
     lang_rule: bool = True,
     exact_text_rule: bool = True,
+    alias_pairs=None,
     # 4096 keeps every temporary a few MB: small enough to stay in the malloc
     # arena and be reused across batches (fresh first-touch pages cost
     # ~300µs/page on virtualized hosts — measured 0.8s vs 34s for the same
@@ -284,12 +285,21 @@ def featurize_and_score_fast(
     plasma; no Python strings touch the pair stream, no per-pair Python runs.
     Feature values and the linear score are bit-identical to the string path
     (features.py) modulo 64-bit hash collisions."""
+    from .constraints import canonical_alias_set
+
     seed_df = None
     if seeds:
         seed_df = pd.DataFrame(
             [(a, b, v) for (a, b), v in seeds.items()],
             columns=["id1", "id2", "__seed"])
     seeds_ref = ray.put(seed_df)
+    alias_ref = ray.put(canonical_alias_set(alias_pairs))
+
+    def _decode_ftok(sig: "DocSignatures", docs: np.ndarray) -> list[str]:
+        rows = sig.ftok[docs]
+        lens = sig.ftok_len[docs]
+        return [bytes(rows[i, :lens[i]].view(np.uint8)).decode("utf-32-le")
+                if lens[i] else "" for i in range(len(docs))]
 
     def _fast(batch: pa.Table) -> pa.Table:
         from .shuffleops import _broadcast_get
@@ -361,11 +371,20 @@ def featurize_and_score_fast(
              + 0.15 * np.nan_to_num(lv)) + 0.05 * np.nan_to_num(lr)
         score = np.minimum(1.0, np.maximum(0.0, z))
 
-        # constraint chain (seeds > exact text > lang), vectorized
+        # constraint chain (seeds > exact text > alias > lang), vectorized
         cons = np.full(n, np.nan)
         lang_eq = lang_eq_u[inv]
         if lang_rule:
             cons[~lang_eq] = 1.0e4
+        aliases = _broadcast_get(alias_ref)
+        if aliases:
+            udocs = np.unique(np.concatenate([u1, u2]))
+            toks = dict(zip(udocs, _decode_ftok(sig, udocs)))
+            alias_u = np.fromiter(
+                (tuple(sorted((toks[a], toks[b]))) in aliases
+                 for a, b in zip(u1, u2)),
+                dtype=bool, count=len(u1))
+            cons[alias_u[inv]] = 0.0
         if exact_text_rule:
             exact_u = ((sig.text_md5[u1] == sig.text_md5[u2])
                        & (sig.text_len[u1] > 0) & lang_eq_u)
