@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        "er_cluster_violations": er.cluster_violations,
+        "er_claims_eval": er.claims_eval,
+        "er_facet_eval": er.facet_eval,
         "er_ref_stats": er.ref_stats,
         "er_pair_sample": er.pair_sample,
         "er_hash_split": er.hash_split,
@@ -60,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "user_sessions": relational.user_sessions,
         "lineitem_order_priority": relational.lineitem_order_priority,
+        "nation_csv_roundtrip": relational.nation_csv_roundtrip,
         "high_value_purchases": relational.high_value_purchases,
         "purchases_asof_signup": relational.purchases_asof_signup,
         # --- text analysis (task brief: training-data pipeline ops) ---
@@ -101,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "token_document_frequency": textstats.TOKEN_DF_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "lineitem_order_priority": relational.LINEITEM_ORDER_PRIORITY_SQL,
+        "nation_csv_roundtrip": relational.NATION_CSV_SQL,
         "high_value_purchases": relational.HIGH_VALUE_SQL,
         "doc_token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_quality": textstats.QUALITY_SQL,

@@ -275,7 +275,7 @@ scored AS (
 )
 """.strip()
 
-_CLUSTER_SQL_TAIL = """
+_CLUSTER_CTES = """
 edges AS (
   SELECT id1 AS src, id2 AS dst FROM scored WHERE score >= 0.5
 ),
@@ -288,8 +288,12 @@ reach AS (
   SELECT s.dst AS node, r.label AS label
   FROM reach r JOIN sym s ON s.src = r.node
 )
-SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """.strip()
+
+_CLUSTER_SQL_TAIL = (
+    _CLUSTER_CTES
+    + "\nSELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"
+)
 
 
 def _pair_sample_filter() -> str:
@@ -326,6 +330,10 @@ def oracle_queries() -> dict[str, str]:
         "er_uncertain_topk": f"{base},\n{_SCORE_CTE} "
                              "SELECT id1, id2, score, abs(score - 0.5) AS uncertainty "
                              "FROM scored ORDER BY abs(score - 0.5), id1, id2 LIMIT 20",
+        "er_cluster_violations": (
+            f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
+            f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_CLUSTER_CTES},\n"
+            f"{CLUSTER_VIOLATIONS_SQL_TAIL}"),
         "er_ref_stats": REF_STATS_SQL_TMPL.format(pages=PAGES_CTE, norm=_NORM_CTE),
         "er_pair_sample": (
             f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
@@ -718,6 +726,143 @@ SELECT src, count(*) AS n_refs, sum(dst_tok) AS ref_tokens,
        min(dst) AS first_ref
 FROM links GROUP BY src
 """.strip()
+
+
+def cluster_violations(sf_dir: str) -> ray.data.Dataset:
+    """Post-clustering compatibility validation — the graft analog of the
+    reference's ``s2_funcs`` cluster-compatibility predicates
+    (/root/reference/s2and/s2_funcs.py:23-266), run as a per-cluster grouped
+    aggregate AFTER clustering: language homogeneity and crawl-timestamp
+    spread per predicted cluster, with a violation flag.  Fully
+    SQL-expressible → oracle-checked."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    assign = clusters(sf_dir)
+    pages = load_pages(sf_dir).select_columns(["doc_id", "lang", "warc_ts"]).map_batches(
+        lambda df: pd.DataFrame({"__pid": df["doc_id"], "lang": df["lang"],
+                                 "ts_us": df["warc_ts"].astype("int64")}),
+        batch_format="pandas")
+    j = assign.join(pages, "inner", num_partitions=8,
+                    on=("doc_id",), right_on=("__pid",))
+
+    # two-phase distinct-lang count: per-batch lang sets travel as sorted
+    # "a|b" strings (Arrow-safe), union re-splits in the bucket
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cluster_id", as_index=False).agg(
+            n_docs=("lang", "size"),
+            langs=("lang", lambda s: "|".join(sorted(set(s)))),
+            min_ts=("ts_us", "min"), max_ts=("ts_us", "max"))
+
+    partials = j.map_batches(_partial, batch_format="pandas")
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("cluster_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            langs=("langs", lambda s: set().union(*(x.split("|") for x in s))),
+            min_ts=("min_ts", "min"), max_ts=("max_ts", "max"))
+        nl = g["langs"].map(len).astype(np.int64)
+        return pd.DataFrame({
+            "cluster_id": g["cluster_id"],
+            "n_docs": g["n_docs"],
+            "n_langs": nl,
+            "lang_violation": (nl > 1).astype(np.int64),
+            "ts_spread_days": (g["max_ts"] - g["min_ts"]).astype(np.float64)
+            / 86400000000.0,
+        })
+
+    from ..stages.shuffleops import bucketed_group_apply
+
+    return bucketed_group_apply(partials, "cluster_id", _merge)
+
+
+CLUSTER_VIOLATIONS_SQL_TAIL = """
+assigned AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+jj AS (
+  SELECT a.cluster_id, p.lang, p.warc_ts
+  FROM assigned a JOIN pages p USING (doc_id)
+)
+SELECT cluster_id, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(count(DISTINCT lang) > 1 AS BIGINT) AS lang_violation,
+       CAST(date_diff('microsecond', min(warc_ts), max(warc_ts)) AS DOUBLE)
+         / 86400000000.0 AS ts_spread_days
+FROM jj GROUP BY cluster_id
+""".strip()
+
+
+def claims_eval(sf_dir: str, claim_rate: float = 0.5, seed: int = 31) -> pd.DataFrame:
+    """Claims evaluation analog (reference ``claims_eval``,
+    /root/reference/s2and/eval.py:871-1160): a deterministic sample of
+    "claimed" same-entity pairs (drawn from the brute-force gold components)
+    is checked against the predicted clustering — what fraction of claims
+    does the pipeline honor?  Rows-only (gold side is non-SQL).
+
+    The claim pairs and both cluster lookups stay in the dataflow; only the
+    one-row summary reaches the driver."""
+    from ..stages.sampling import pair_sample_stage
+    from ..stages.shuffleops import attach_attrs
+
+    gold = _gold_assignments(sf_dir)
+    gold_blocks = gold.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"], "gold": df["label"]}),
+        batch_format="pandas")
+    claim_pairs = pairs_from_blocks(
+        gold_blocks, block_col="gold", id_col="doc_id", carry_cols=[],
+        max_pairs_per_block=100_000)
+    claims = pair_sample_stage(claim_pairs, claim_rate, seed=seed)
+
+    pred = clusters(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "pred": df["cluster_id"]}),
+        batch_format="pandas")
+    wide = attach_attrs(claims.select_columns(["id1", "id2"]), pred,
+                        id_col="doc_id", attr_cols=["pred"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sat = (df["pred1"] == df["pred2"]).sum()
+        return pd.DataFrame({"n_claims": [len(df)],
+                             "claims_satisfied": [int(sat)]})
+
+    parts = wide.map_batches(_partial, batch_format="pandas").to_pandas()
+    n = int(parts["n_claims"].sum())
+    sat = int(parts["claims_satisfied"].sum())
+    return pd.DataFrame({
+        "n_claims": [n], "claims_satisfied": [sat],
+        "claim_rate": [round(sat / n, 6) if n else float("nan")],
+    })
+
+
+def facet_eval(sf_dir: str) -> pd.DataFrame:
+    """Multi-facet evaluation (reference ``facet_eval`` runs 15 facet
+    breakdowns, /root/reference/s2and/eval.py:196-427): B³ of the key-block
+    partition vs the brute-force gold, broken down by language, url host,
+    and text-length bucket — one distributed cells pass per facet."""
+    from ..eval.metrics import facet_metrics_dataset
+
+    base = blocked(sf_dir).select_columns(
+        ["doc_id", "block_key", "lang", "url", "norm_text"])
+
+    def _facets(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].str.split("/").str[2]
+        lb = (df["norm_text"].str.len() // 100).clip(upper=5)
+        return pd.DataFrame({
+            "id": df["doc_id"], "pred": df["block_key"],
+            "lang": df["lang"], "host": host,
+            "len_bucket": lb.astype(str)})
+
+    pred = base.map_batches(_facets, batch_format="pandas")
+    gold = _gold_assignments(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"id": df["node"], "gold": df["label"]}),
+        batch_format="pandas")
+    frames = []
+    for facet in ("lang", "host", "len_bucket"):
+        m = facet_metrics_dataset(pred, gold, facet_col=facet)
+        m = m.rename(columns={facet: "facet_value"})
+        m.insert(0, "facet", facet)
+        frames.append(m)
+    return pd.concat(frames, ignore_index=True)
 
 
 def pair_sample(sf_dir: str, rate: float = 0.25, seed: int = 23) -> ray.data.Dataset:

@@ -335,6 +335,41 @@ WHERE event_type = 'purchase' AND value > 100.0
 
 
 # ---------------------------------------------------------------------------
+# CSV side-input source (reference maybe_load_dataframe, data.py:684-701)
+# ---------------------------------------------------------------------------
+
+def nation_csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Exercise the CSV source end-to-end: derive a CSV side-input from the
+    nation table (cached under /tmp, content-fingerprinted), read it back
+    through ``maybe_load_dataframe`` (ray.data.read_csv), project."""
+    import hashlib
+    import os
+
+    from ..sources.tables import maybe_load_dataframe, table_path
+
+    src = table_path(sf_dir, "nation")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    csv_path = f"/tmp/graft_side_nation_{tag}.csv"
+    if not os.path.exists(csv_path):
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["n_nationkey", "n_name", "n_regionkey"])
+        pacsv.write_csv(t, csv_path + ".tmp")
+        os.rename(csv_path + ".tmp", csv_path)
+    return maybe_load_dataframe(
+        csv_path, columns=["n_nationkey", "n_name", "n_regionkey"])
+
+
+NATION_CSV_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # As-of join (most recent prior event) — merge_asof per partition
 # ---------------------------------------------------------------------------
 

@@ -50,3 +50,45 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
         if blocks:
             kwargs["override_num_blocks"] = blocks
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def maybe_load_dataframe(path: str | None, columns: list[str] | None = None
+                         ) -> "ray.data.Dataset | None":
+    """Side-input loader by extension — CSV or Parquet, None passthrough
+    (reference ``maybe_load_dataframe``, /root/reference/s2and/data.py:684-701).
+    CSV rides ``ray.data.read_csv`` (Arrow CSV reader, distributed)."""
+    if path is None:
+        return None
+    if path.endswith(".csv") or path.endswith(".csv.gz"):
+        ds = ray.data.read_csv(path)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def maybe_load_list(path: str | None) -> list | None:
+    """Small-list side input: newline-delimited text (or .json array) →
+    Python list, for broadcast via ``ray.put`` (reference
+    ``maybe_load_list``, /root/reference/s2and/data.py:668-681)."""
+    if path is None:
+        return None
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            return json.load(f)
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def load_alias_pairs(path: str | None) -> "list[tuple[str, str]] | None":
+    """Alias token-pair side input (reference name-tuples broadcast set,
+    /root/reference/s2and/data.py:704-741): CSV/parquet with two columns →
+    list of (tok_a, tok_b) for the constraint chain's alias rule."""
+    if path is None:
+        return None
+    ds = maybe_load_dataframe(path)
+    df = ds.to_pandas()  # side inputs are small by contract
+    a, b = df.columns[:2]
+    return list(zip(df[a].astype(str), df[b].astype(str)))

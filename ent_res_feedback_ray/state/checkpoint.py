@@ -45,6 +45,23 @@ def write_checkpoint(ds: ray.data.Dataset, path: str, meta: dict | None = None) 
     mark_success(path, meta)
 
 
+def write_partitioned(ds: ray.data.Dataset, path: str,
+                      partition_cols: list[str],
+                      meta: dict | None = None) -> None:
+    """Partitioned Parquet sink (reference ``store_featurized_pickles``'s
+    per-split outputs, SURVEY.md §2.1): one hive directory per partition
+    value, so a resumed run (or a reader needing one split) touches only its
+    partitions.  Atomic like ``write_checkpoint``."""
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp, partition_cols=partition_cols)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    mark_success(path, meta)
+
+
 def read_checkpoint(path: str) -> ray.data.Dataset:
     if not is_complete(path):
         raise FileNotFoundError(f"checkpoint {path} incomplete (no {SUCCESS})")

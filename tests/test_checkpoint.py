@@ -58,3 +58,46 @@ def test_distributed_cc_writes_round_checkpoints(tmp_path):
     assert got[5] == got[6] == 5
     rounds = [d for d in os.listdir(tmp_path) if d.startswith("cc_round=")]
     assert len(rounds) >= 1
+
+
+def test_write_partitioned(tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.state.checkpoint import (
+        is_complete,
+        write_partitioned,
+    )
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "split": ["train"] * 15 + ["test"] * 5})
+    path = str(tmp_path / "parts")
+    write_partitioned(ray.data.from_pandas(df), path, ["split"])
+    assert is_complete(path)
+    subdirs = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert subdirs == {"split=train", "split=test"}
+    # one partition readable alone (a resumed run touches only its splits)
+    back = ray.data.read_parquet(os.path.join(path, "split=train"))
+    assert back.count() == 15
+
+
+def test_side_input_loaders(tmp_path):
+    import pandas as pd
+
+    from ent_res_feedback_ray.sources.tables import (
+        load_alias_pairs,
+        maybe_load_dataframe,
+        maybe_load_list,
+    )
+
+    assert maybe_load_dataframe(None) is None
+    csv = tmp_path / "side.csv"
+    pd.DataFrame({"a": ["x", "nyc"], "b": ["y", "new"]}).to_csv(csv, index=False)
+    ds = maybe_load_dataframe(str(csv))
+    assert ds.count() == 2
+    assert load_alias_pairs(str(csv)) == [("x", "y"), ("nyc", "new")]
+    lst = tmp_path / "list.txt"
+    lst.write_text("alpha\nbeta\n\n")
+    assert maybe_load_list(str(lst)) == ["alpha", "beta"]
