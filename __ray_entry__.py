@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_ref_stats": er.ref_stats,
         "er_pair_sample": er.pair_sample,
         "er_hash_split": er.hash_split,
+        "er_block_split": er.block_split,
         "er_snm_pairs": er.snm_pairs,
         "er_time_split": er.time_split,
         "er_b3_blocks_vs_lang": er.b3_blocks_vs_lang,

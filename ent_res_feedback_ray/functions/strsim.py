@@ -150,6 +150,29 @@ def prefix_dist(a: str | None, b: str | None) -> float:
     return 1.0 - lcp / n
 
 
+def metric_lcs(a: str | None, b: str | None) -> float:
+    """Metric longest-common-subsequence DISTANCE:
+    1 − |LCS(a,b)| / max(|a|,|b|) (reference wraps strsimpy's MetricLCS,
+    /root/reference/s2and/text.py:257-263; re-implemented from the public
+    definition — Bakkelund 2009).  NaN when either side is missing/empty."""
+    if not a or not b:
+        return NAN
+    if a == b:
+        return 0.0
+    av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if len(av) < len(bv):
+        av, bv = bv, av
+    prev = np.zeros(len(bv) + 1, dtype=np.int64)
+    for ca in av:
+        # cur[j] = prev[j-1]+1 if match else max(prev[j], cur[j-1])
+        cur = np.maximum(prev[1:], np.where(bv == ca, prev[:-1] + 1, 0))
+        np.maximum.accumulate(cur, out=cur)
+        prev[1:] = cur
+    lcs = int(prev[-1])
+    return 1.0 - lcs / max(len(av), len(bv))
+
+
 def jaccard(a: set | frozenset | None, b: set | frozenset | None) -> float:
     """Set Jaccard with NaN for empty/missing sides
     (reference /root/reference/s2and/text.py:604-629)."""

@@ -18,7 +18,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..eval.metrics import b3_prf, pairwise_prf
 from ..sources.pages import PAGES_CTE, load_pages
 from ..stages.blocking import BLOCK_KEY_SQL, key_blocking_stage
 from ..stages.clustering import transitive_clustering
@@ -111,8 +110,7 @@ def all_doc_ids(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     return ds.map_batches(
-        lambda df: pd.DataFrame({"node": df["doc_id"]}), batch_format="pandas"
-    )
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
 
 
 def clusters(sf_dir: str) -> ray.data.Dataset:
@@ -123,8 +121,9 @@ def clusters(sf_dir: str) -> ray.data.Dataset:
         threshold=SCORE_THRESHOLD,
     )
     return assign.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["node"], "cluster_id": df["label"]}),
-        batch_format="pandas",
+        lambda t: t.select(["node", "label"]).rename_columns(
+            ["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
     )
 
 
@@ -309,6 +308,13 @@ def _hash_split_case() -> str:
         "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=23)
 
 
+def _block_split_case() -> str:
+    from ..stages.sampling import hash_split_sql_case
+
+    return hash_split_sql_case("block_key", {"train": 0.8, "test": 0.2},
+                               seed=23)
+
+
 def oracle_queries() -> dict[str, str]:
     """SQL twins for each oracle-checked ER query (driver contract)."""
     base = f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE},\n{_FEAT_CTE}"
@@ -342,6 +348,10 @@ def oracle_queries() -> dict[str, str]:
         "er_hash_split": (
             f"WITH {PAGES_CTE} SELECT doc_id, " + _hash_split_case()
             + " AS split FROM pages"),
+        "er_block_split": (
+            f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE} "
+            "SELECT doc_id, block_key, " + _block_split_case()
+            + " AS split FROM blocks"),
         "er_snm_pairs": SNM_PAIRS_SQL_TMPL.format(pages=PAGES_CTE, norm=_NORM_CTE),
         "er_time_split": TIME_SPLIT_SQL_TMPL.format(pages=PAGES_CTE),
         "er_b3_blocks_vs_lang": B3_BLOCKS_SQL_TMPL.format(
@@ -883,6 +893,18 @@ def hash_split(sf_dir: str, seed: int = 23) -> ray.data.Dataset:
     pages = load_pages(sf_dir).select_columns(["doc_id"])
     return hash_split_stage(
         pages, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=seed)
+
+
+def block_split(sf_dir: str, seed: int = 23) -> ray.data.Dataset:
+    """Block-stratified split (reference ``split_blocks_helper``,
+    /root/reference/s2and/data.py:908-953): the SPLIT is a pure function of
+    the BLOCK key, so every doc of a block lands in the same split — the
+    property the reference's block-level carve guarantees (no leakage of a
+    block across train/test)."""
+    from ..stages.sampling import hash_split_stage
+
+    return hash_split_stage(blocked_compact(sf_dir), "block_key",
+                            {"train": 0.8, "test": 0.2}, seed=seed)
 
 
 def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:

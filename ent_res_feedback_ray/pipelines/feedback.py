@@ -186,14 +186,16 @@ def run_feedback_rounds(
             return df
 
         unc = scored.map_batches(_unc, batch_format="pandas")
+        # already-labeled pairs are excluded IN the dataflow (reference
+        # delete_training_data, featurizer.py:683-692) before the global sort
+        from ..stages.pairs import exclude_pairs_stage
+
+        unc = exclude_pairs_stage(unc, labels[["id1", "id2"]]
+                                  if len(labels) else None)
         topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
-            2 * k_per_round + 2 * len(labels)).to_pandas()
+            2 * k_per_round).to_pandas()
         # candidate pairs may repeat across LSH bands (dedup-free fast path)
         topk = topk.drop_duplicates(subset=["id1", "id2"], keep="first")
-        if len(labels):
-            seen = set(zip(labels["id1"], labels["id2"]))
-            topk = topk[~topk.apply(
-                lambda r: (r["id1"], r["id2"]) in seen, axis=1)]
         topk = topk.head(k_per_round)
 
         # 5. reveal gold labels

@@ -82,6 +82,30 @@ def maybe_load_list(path: str | None) -> list | None:
         return [line.rstrip("\n") for line in f if line.strip()]
 
 
+LABEL_MAP = {"NO": 0.0, "YES": 1.0, "0": 0.0, "1": 1.0, 0: 0.0, 1: 1.0}
+
+
+def load_labeled_pairs(path: str | None) -> "object | None":
+    """Labeled-pairs side input: CSV/parquet (id1, id2, label) with
+    YES/NO/0/1 judgements mapped to float labels (reference mapping
+    /root/reference/s2and/data.py:1290-1305).  Returns a pandas frame —
+    label stores are bounded by construction."""
+    ds = maybe_load_dataframe(path)
+    if ds is None:
+        return None
+    df = ds.to_pandas()
+    id1, id2, lab = df.columns[:3]
+    out = df.rename(columns={id1: "id1", id2: "id2", lab: "label"})
+    out["label"] = out["label"].map(LABEL_MAP).astype(float)
+    if out["label"].isna().any():
+        bad = df[out["label"].isna()][lab].unique()[:5]
+        raise ValueError(f"unmappable pair labels: {bad}")
+    a = out[["id1", "id2"]].min(axis=1)
+    b = out[["id1", "id2"]].max(axis=1)
+    out["id1"], out["id2"] = a, b  # canonical id1 < id2
+    return out[["id1", "id2", "label"]]
+
+
 def load_alias_pairs(path: str | None) -> "list[tuple[str, str]] | None":
     """Alias token-pair side input (reference name-tuples broadcast set,
     /root/reference/s2and/data.py:704-741): CSV/parquet with two columns →

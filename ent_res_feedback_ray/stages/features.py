@@ -27,10 +27,37 @@ FTOK_LEN = 16     # jaro-winkler over the (short) leading token, capped
 CJ_CLAMP = 5000   # counter_jaccard denominator clamp (reference featurizer)
 TS_CLAMP_DAYS = 365.0  # |warc_ts diff| clamp (reference year_diff clamp=50)
 
-FEATURE_COLS = [
-    "token_jaccard", "shingle_jaccard", "lev_sim", "len_ratio", "lang_match",
-    "jw_first", "char3_jaccard", "token_cjaccard", "prefix_sim", "ts_diff_days",
-]
+# Feature registry — the reference's ``FeaturizationInfo`` feature-group
+# table (/root/reference/s2and/featurizer.py:42-295): every feature belongs
+# to a named group, callers select subsets by group, and the column order of
+# the feature vector is fixed by this registry (both the string spec and the
+# broadcast-signature fast path emit it).
+FEATURE_GROUPS: dict[str, str] = {
+    "token_jaccard": "tokens",
+    "shingle_jaccard": "shingles",
+    "lev_sim": "chars",
+    "len_ratio": "lengths",
+    "lang_match": "language",
+    "jw_first": "chars",
+    "char3_jaccard": "chars",
+    "token_cjaccard": "tokens",
+    "prefix_sim": "chars",
+    "ts_diff_days": "time",
+}
+
+FEATURE_COLS = list(FEATURE_GROUPS)
+
+
+def feature_columns(groups: "list[str] | None" = None) -> list[str]:
+    """Feature names, optionally restricted to named groups (registry
+    order preserved — it defines the model's input vector layout)."""
+    if groups is None:
+        return list(FEATURE_COLS)
+    want = set(groups)
+    unknown = want - set(FEATURE_GROUPS.values())
+    if unknown:
+        raise KeyError(f"unknown feature groups: {sorted(unknown)}")
+    return [c for c, g in FEATURE_GROUPS.items() if g in want]
 
 # DuckDB expression templates ({n1}/{n2}=normalized text cols, {l1}/{l2}=lang)
 TOKEN_JACCARD_SQL = (

@@ -198,6 +198,31 @@ def emit_bucket_pairs_vectorized(
     return small_frame
 
 
+def exclude_pairs_stage(ds: ray.data.Dataset, exclude_df,
+                        id1: str = "id1", id2: str = "id2") -> ray.data.Dataset:
+    """Drop pairs present in a bounded exclusion store (reference
+    ``delete_training_data`` — inference must not re-score pairs the model
+    trained on, /root/reference/s2and/featurizer.py:683-692).  The store is
+    broadcast once (``ray.put``); each batch anti-filters with a vectorized
+    merge — row order preserved, no shuffle."""
+    import ray as _ray
+
+    from .shuffleops import _broadcast_get
+
+    keys = (exclude_df[[id1, id2]].drop_duplicates().assign(__x=1)
+            if exclude_df is not None and len(exclude_df) else None)
+    ref = _ray.put(keys)
+
+    def _anti(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _broadcast_get(ref)
+        if ex is None:
+            return df
+        m = df[[id1, id2]].merge(ex, on=[id1, id2], how="left")
+        return df[m["__x"].isna().to_numpy()]
+
+    return ds.map_batches(_anti, batch_format="pandas")
+
+
 def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
     """Keep one row per canonical (id1, id2) — needed when several blocking
     families (key blocks + LSH bands) propose the same pair.  Hash-partition

@@ -69,3 +69,39 @@ def test_dedup_pairs():
     out = dedup_pairs(ds).to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     assert len(out) == 2
     assert set(zip(out["id1"], out["id2"])) == {(1, 2), (1, 3)}
+
+
+def test_exclude_pairs_stage():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.pairs import exclude_pairs_stage
+
+    pairs = pd.DataFrame({
+        "id1": np.array([1, 1, 2, 3], dtype=np.int64),
+        "id2": np.array([2, 3, 3, 4], dtype=np.int64),
+        "score": [0.1, 0.2, 0.3, 0.4],
+    })
+    ex = pd.DataFrame({"id1": [1, 3], "id2": [3, 4]})
+    out = exclude_pairs_stage(
+        ray.data.from_pandas(pairs).repartition(2), ex).to_pandas()
+    assert set(zip(out.id1, out.id2)) == {(1, 2), (2, 3)}
+    # None / empty store = passthrough
+    out2 = exclude_pairs_stage(ray.data.from_pandas(pairs), None).to_pandas()
+    assert len(out2) == 4
+
+
+def test_load_labeled_pairs(tmp_path):
+    import pandas as pd
+
+    from ent_res_feedback_ray.sources.tables import load_labeled_pairs
+
+    p = tmp_path / "pairs.csv"
+    pd.DataFrame({"a": [5, 2], "b": [1, 9],
+                  "judgement": ["YES", "NO"]}).to_csv(p, index=False)
+    out = load_labeled_pairs(str(p))
+    assert out["label"].tolist() == [1.0, 0.0]
+    assert out["id1"].tolist() == [1, 2]   # canonicalized id1 < id2
+    assert out["id2"].tolist() == [5, 9]
+    assert load_labeled_pairs(None) is None

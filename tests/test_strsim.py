@@ -112,3 +112,27 @@ def test_jaro_winkler_batch_parity():
         db = con.execute("SELECT jaro_winkler_similarity(?, ?)",
                          [xs[i], ys[i]]).fetchone()[0]
         assert batch[i] == db, (xs[i], ys[i], batch[i], db)
+
+
+def test_metric_lcs():
+    import numpy as np
+
+    from ent_res_feedback_ray.functions.strsim import metric_lcs
+
+    def lcs_ref(a, b):
+        m, n = len(a), len(b)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m):
+            for j in range(n):
+                dp[i + 1][j + 1] = (dp[i][j] + 1 if a[i] == b[j]
+                                    else max(dp[i][j + 1], dp[i + 1][j]))
+        return dp[m][n]
+
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        a = "".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
+        b = "".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
+        expect = 1.0 - lcs_ref(a, b) / max(len(a), len(b))
+        assert metric_lcs(a, b) == pytest.approx(expect, abs=1e-12), (a, b)
+    assert math.isnan(metric_lcs("", "abc"))
+    assert metric_lcs("abc", "abc") == 0.0
