@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         # --- multimodal plumbing ---
         "pages_binary_metadata": multimodal.pages_binary_metadata,
+        "pages_image_features": multimodal.pages_image_features,
     }
     return q
 

@@ -116,6 +116,73 @@ def image_features_stage(ds: ray.data.Dataset, allow_fake: bool = False,
     )
 
 
+class FrameSampleStage:
+    """Video frame-sampling analog: one binary payload → one row per sampled
+    frame (a one-to-many explode over wide binary rows).
+
+    STUB decode (no video libs in this container): with ``allow_fake=True``
+    the payload is chunked into fixed-size pseudo-frames deterministically;
+    the real implementation would seek keyframes in ``__init__``-loaded
+    codec state.  The Ray side — explode schema, small batches, actor pool —
+    is real and tested."""
+
+    def __init__(self, allow_fake: bool = False, every_n: int = 4,
+                 frame_bytes: int = 64, binary_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.allow_fake = allow_fake
+        self.every_n = every_n
+        self.frame_bytes = frame_bytes
+        self.binary_col = binary_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.allow_fake:
+            raise NotImplementedError(
+                "video decoding requires codec libraries not present in this "
+                "environment; construct with allow_fake=True for the "
+                "deterministic stand-in")
+        ids, frame_no, means = [], [], []
+        id_arr = t.column(self.id_col)
+        col = t.column(self.binary_col)
+        for i in range(t.num_rows):
+            v = col[i].as_py() or b""
+            arr = np.frombuffer(v, dtype=np.uint8)
+            n_frames = max(1, len(arr) // self.frame_bytes)
+            for f in range(0, n_frames, self.every_n):
+                chunk = arr[f * self.frame_bytes:(f + 1) * self.frame_bytes]
+                ids.append(id_arr[i].as_py())
+                frame_no.append(f)
+                means.append(float(chunk.mean()) if len(chunk) else 0.0)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_no": pa.array(frame_no, pa.int64()),
+            "frame_mean": pa.array(means, pa.float64()),
+        })
+
+
+def frame_sample_stage(ds: ray.data.Dataset, allow_fake: bool = False,
+                       concurrency=(1, 4), batch_size: int = 256,
+                       **kwargs) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"allow_fake": allow_fake, **kwargs},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def pages_image_features(sf_dir: str) -> ray.data.Dataset:
+    """Driver-visible multimodal pipeline: html payloads → actor-pool decode
+    stage with the DETERMINISTIC stand-in decoder (decode libs absent —
+    declared stub; the plumbing is the deliverable).  Rows-only."""
+    from ..sources.pages import load_pages
+
+    ds = load_pages(sf_dir, with_html=True).map_batches(
+        lambda t: t.select(["doc_id", "html"]).rename_columns(
+            ["doc_id", "payload"]),
+        batch_format="pyarrow")
+    return image_features_stage(ds, allow_fake=True)
+
+
 def pages_binary_metadata(sf_dir: str) -> ray.data.Dataset:
     """html:binary metadata over the derived pages table (oracle-checkable:
     byte length + md5 of the payload)."""

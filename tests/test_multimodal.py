@@ -51,3 +51,31 @@ def test_image_features_stage_schema():
     assert list(tbl.columns) == ["doc_id", "width", "height", "feature"]
     assert len(tbl) == 5
     assert all(len(f) == 8 for f in tbl["feature"])
+
+
+def test_frame_sample_stage_explodes_and_gates():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ent_res_feedback_ray.stages.multimodal import frame_sample_stage
+
+    payloads = [bytes(range(256)) * 2, b"tiny"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    out = frame_sample_stage(ds, allow_fake=True, every_n=2,
+                             frame_bytes=64).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}
+    assert (out[out.doc_id == 1]["frame_no"].tolist() == [0, 2, 4, 6])
+    # determinism
+    out2 = frame_sample_stage(ds, allow_fake=True, every_n=2,
+                              frame_bytes=64).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+    # stub gate: without allow_fake the stage refuses loudly
+    with pytest.raises(Exception):
+        frame_sample_stage(ds, allow_fake=False).materialize()
