@@ -115,6 +115,7 @@ def run_feedback_rounds(
     seed: int = 17,
     resolve_kwargs: dict | None = None,
     constraints_per_round: int = 0,
+    tune_threshold_on_val: bool = False,
 ) -> list[dict]:
     """Run (or resume) the feedback loop; returns per-round metric dicts.
 
@@ -161,6 +162,41 @@ def run_feedback_rounds(
                                seeds=seeds or None, **resolve_kwargs)
         scored = result["scored"]
         assignments = result["assignments"]
+        tuned_th = None
+        if tune_threshold_on_val:
+            # reference Clusterer.fit: tune the cut on HELD-OUT val docs
+            # (hash carve, 20%), then re-cluster everything at the tuned
+            # threshold.  Scoring ran once; trials re-threshold cached pairs.
+            from ..stages.clustering import transitive_clustering
+            from ..stages.sampling import md5_mod, pair_sample_stage
+            from ..state.tuning import tune_score_threshold
+
+            val_ids = gold["doc_id"].to_numpy(np.int64)
+            val_ids = val_ids[md5_mod(
+                [f"{v}|{seed}" for v in val_ids]) >= 800_000]
+            val_set = set(val_ids.tolist())
+
+            def _val_pairs(df: pd.DataFrame) -> pd.DataFrame:
+                keep = (df["id1"].isin(val_set)
+                        & df["id2"].isin(val_set)).to_numpy()
+                return df[keep]
+
+            vp = scored.map_batches(_val_pairs, batch_format="pandas")
+            # bound the driver pull (tuner input) deterministically
+            if vp.count() > 100_000:
+                vp = pair_sample_stage(vp, 100_000 / vp.count(), seed=seed)
+            vp_pd = vp.to_pandas()
+            gold_val = gold[gold["doc_id"].isin(val_set)].rename(
+                columns={"doc_id": "id", "gold_entity_id": "gold"})
+            if len(vp_pd) and gold_val["gold"].nunique() > 1:
+                tuned_th, _ = tune_score_threshold(
+                    vp_pd, gold_val[["id", "gold"]], val_ids)
+                assignments = transitive_clustering(
+                    scored,
+                    all_ids=result["id_map"].map_batches(
+                        lambda df: pd.DataFrame({"node": df["doc_id"]}),
+                        batch_format="pandas"),
+                    threshold=tuned_th)
 
         # checkpoints: assignments + lineage counters (per-partition parquet)
         write_checkpoint(assignments, stage_dir(out_dir, rnd, "assignments"))
@@ -170,6 +206,8 @@ def run_feedback_rounds(
         metrics["round"] = rnd
         metrics["n_labels"] = int(len(labels))
         metrics["n_seeds"] = int(len(seeds))
+        if tuned_th is not None:
+            metrics["tuned_threshold"] = float(tuned_th)
 
         # ECC-style constraint synthesis: seeds from this round's gold/pred
         # cluster diff apply from the NEXT round on

@@ -149,10 +149,9 @@ def test_alias_constraint_precedence():
         seeds={(0, 1): "disallow"}).to_pandas().set_index(["id1", "id2"])
     assert fast.loc[(0, 1), "constraint"] == 1.0e4   # seed beats alias
     assert fast.loc[(2, 3), "constraint"] == 0.0     # exact text
-    assert fast.loc[(0, 5), "constraint"] == 1.0e4   # lang rule beats alias?
-    # (0,5): langs differ AND first tokens alias → alias (higher precedence)
-    # overrides the lang disallow — wait, doc5 first token is "nyc", doc0 is
-    # "nyc": not an alias pair (identical), so lang disallow stands.
+    # (0,5): both lead with "nyc" — identical tokens are NOT an alias pair,
+    # so the language mismatch disallow stands
+    assert fast.loc[(0, 5), "constraint"] == 1.0e4
     # function path on the same pairs
     lk = docs.set_index("doc_id")
     wide = pairs.copy()
@@ -174,3 +173,17 @@ def test_alias_constraint_precedence():
         ray.data.from_pandas(pairs2), sig_ref,
         alias_pairs=alias).to_pandas()
     assert fast2["constraint"].iloc[0] == 0.0
+
+
+def test_tuned_threshold_on_val(synth_pages, tmp_path_factory):
+    """Clusterer.fit analog: the cut threshold is tuned on the 20% held-out
+    val docs each round, recorded in metrics, and quality stays at the gate."""
+    pages_path, gold_path = synth_pages
+    out = str(tmp_path_factory.mktemp("rounds_tuned"))
+    h = run_feedback_rounds(
+        pages_path, gold_path, out, n_rounds=1, k_per_round=50,
+        tune_threshold_on_val=True,
+        resolve_kwargs={"use_key_blocks": False, "use_lsh": True})
+    assert "tuned_threshold" in h[0]
+    assert 0.0 <= h[0]["tuned_threshold"] <= 1.0
+    assert h[0]["pair_f1"] >= 0.9
