@@ -390,6 +390,7 @@ def resolve_pages(
     num_bands: int = 16,
     scorer_concurrency=(1, 4),
     dedup: bool = False,
+    broadcast_doc_limit: int = 2_000_000,
 ) -> dict:
     """Full ER stage graph over a pages Dataset with ``url`` (and optionally
     ``doc_id``) columns.  Returns dict of Datasets:
@@ -462,7 +463,7 @@ def resolve_pages(
     keep = ["block_key", "id1", "id2", "pairs_possible",
             *FEATURE_COLS, "score", "constraint"]
     n_docs = norm.count()
-    if n_docs <= 2_000_000:
+    if n_docs <= broadcast_doc_limit:
         # HOT PATH: featurize against broadcast doc signatures (sorted hash
         # arrays, zero-copy plasma views) — the pair stream stays integer-
         # only; no Python strings, minimal memory bandwidth (the thing that

@@ -101,3 +101,26 @@ def test_empty_text_rows_are_singletons(resolved):
     m = dict(zip(assign["node"], assign["label"]))
     labels = [m[i] for i in empty_ids]
     assert len(set(labels)) == len(labels)  # each its own cluster
+
+
+def test_dimension_scale_path_matches_fast_path(synth_pages):
+    """The >2M-doc fallback (attach_attrs join + string featurizer +
+    constraint stage) must produce the same clustering as the broadcast-
+    signature fast path — proven end-to-end by forcing
+    broadcast_doc_limit=0."""
+    pages_path, _ = synth_pages
+    pages = ray.data.read_parquet(pages_path)
+    fast = resolve_pages(pages, use_key_blocks=False, use_lsh=True)
+    pages2 = ray.data.read_parquet(pages_path)
+    joiny = resolve_pages(pages2, use_key_blocks=False, use_lsh=True,
+                          broadcast_doc_limit=0)
+    a = fast["assignments"].to_pandas().sort_values("node").reset_index(drop=True)
+    b = joiny["assignments"].to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # scored pair values bit-match across the two featurize paths as well
+    cols = ["id1", "id2", "score"]
+    sa = (fast["scored"].to_pandas()[cols].drop_duplicates(["id1", "id2"])
+          .sort_values(["id1", "id2"]).reset_index(drop=True))
+    sb = (joiny["scored"].to_pandas()[cols].drop_duplicates(["id1", "id2"])
+          .sort_values(["id1", "id2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(sa, sb)
