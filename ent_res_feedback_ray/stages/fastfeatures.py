@@ -47,7 +47,6 @@ from ..functions.strsim import (
     lcp_batch_encoded,
     levenshtein_batch_myers_encoded,
 )
-from ..functions.textnorm import char_ngrams, word_ngrams
 from .features import CHAR3_PREFIX, CJ_CLAMP, FTOK_LEN, LEV_PREFIX, TS_CLAMP_DAYS
 
 
@@ -74,43 +73,118 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
     ``ts_col`` is optional — absent input → ts_diff_days is NaN downstream."""
     have_ts = ts_col in norm_ds.schema().names
 
+    def _sorted_dedup_csr(vals: np.ndarray, doc: np.ndarray, n: int):
+        """(values, owning doc) → per-doc sorted DISTINCT CSR (vectorized)."""
+        if len(vals) == 0:
+            return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+        order = np.lexsort((vals, doc))
+        v, d = vals[order], doc[order]
+        keep = np.concatenate([[True], (v[1:] != v[:-1]) | (d[1:] != d[:-1])])
+        v, d = v[keep], d[keep]
+        counts = np.bincount(d, minlength=n)
+        off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return v, off
+
     def _sig(t: pa.Table) -> pa.Table:
+        """Batch-vectorized signature build: ONE columnar fnv pass over all
+        tokens of the batch; shingle hashes derived arithmetically from
+        consecutive token hashes; char-3-grams as INJECTIVE packed
+        codepoints (c0·2⁴² + c1·2²¹ + c2 — no collisions at all); per-doc
+        sort/dedup via one lexsort.  The only per-doc Python is the cheap
+        split/encode/md5."""
+        from itertools import chain
+
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         norms = t.column(norm_col).to_pylist()
         langs = t.column(lang_col)
         n = len(norms)
-        tok_bytes, shg_bytes, ch3_bytes, prefixes, ftoks = [], [], [], [], []
+        tok_lists = [(s or "").split() for s in norms]
+        counts = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+        th = fnv1a64(list(chain.from_iterable(tok_lists)))
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        # token BAG: per-doc sorted with dups; nset from the dedup pass
+        if len(th):
+            order = np.lexsort((th, doc_idx))
+            tok_sorted = th[order]
+            dsort = doc_idx[order]
+            first = np.concatenate(
+                [[True], (tok_sorted[1:] != tok_sorted[:-1])
+                 | (dsort[1:] != dsort[:-1])])
+            nsets = np.bincount(dsort[first], minlength=n).astype(np.int64)
+        else:
+            tok_sorted = th
+            nsets = np.zeros(n, np.int64)
+        tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+        # shingles: hash-combine consecutive token hashes (same-doc triples);
+        # docs with 1-2 tokens emit ONE shingle = fnv of the joined words
+        # (word_ngrams semantics)
+        P = np.uint64(0x100000001B3)
+        if len(th) >= 3:
+            with np.errstate(over="ignore"):
+                tri = (th[:-2] * P + th[1:-1]) * P + th[2:]
+            ok = doc_idx[:-2] == doc_idx[2:]
+            sh_vals, sh_doc = tri[ok], doc_idx[:-2][ok]
+        else:
+            sh_vals = np.empty(0, np.uint64)
+            sh_doc = np.empty(0, np.int64)
+        small = np.nonzero((counts > 0) & (counts < 3))[0]
+        if len(small):
+            sv = fnv1a64([" ".join(tok_lists[i]) for i in small])
+            sh_vals = np.concatenate([sh_vals, sv])
+            sh_doc = np.concatenate([sh_doc, small.astype(np.int64)])
+        shg_flat, shg_off = _sorted_dedup_csr(sh_vals, sh_doc, n)
+
+        # prefix / first-token matrices + packed char-3-grams over s[:100]
+        lens = np.fromiter((len(s or "") for s in norms), np.int64, count=n)
+        clens = np.minimum(lens, CHAR3_PREFIX).astype(np.int64)
+        M = np.zeros((n, CHAR3_PREFIX), dtype=np.uint32)
+        ftoks = np.zeros((n, FTOK_LEN), dtype=np.uint32)
         md5s = np.empty(n, dtype=np.int64)
-        lens = np.empty(n, dtype=np.int64)
-        nsets = np.empty(n, dtype=np.int64)
         for i, s in enumerate(norms):
             s = s or ""
-            words = s.split()
-            # token BAG (dups kept) — set stats derive from distinct values
-            th = np.sort(fnv1a64(words)) if words else np.empty(0, np.uint64)
-            nsets[i] = len(set(words))
-            sh = np.sort(fnv1a64(sorted(set(word_ngrams(words, 3)))))
-            c3 = np.sort(fnv1a64(sorted(set(char_ngrams(s[:CHAR3_PREFIX], 3)))))
-            tok_bytes.append(th.tobytes())
-            shg_bytes.append(sh.tobytes())
-            ch3_bytes.append(c3.tobytes())
-            # pack the UTF-32 prefix row (fixed LEV_PREFIX uint32 words)
-            enc = s[:LEV_PREFIX].encode("utf-32-le")
-            prefixes.append(enc + b"\x00" * (LEV_PREFIX * 4 - len(enc)))
-            ft = (words[0][:FTOK_LEN] if words else "").encode("utf-32-le")
-            ftoks.append(ft + b"\x00" * (FTOK_LEN * 4 - len(ft)))
+            if s:
+                enc = np.frombuffer(
+                    s[:CHAR3_PREFIX].encode("utf-32-le"), dtype=np.uint32)
+                M[i, : len(enc)] = enc
+                ft = tok_lists[i][0][:FTOK_LEN] if tok_lists[i] else ""
+                if ft:
+                    fenc = np.frombuffer(ft.encode("utf-32-le"), dtype=np.uint32)
+                    ftoks[i, : len(fenc)] = fenc
             md5s[i] = np.frombuffer(
                 hashlib.md5(s.encode("utf-8")).digest()[:8],
                 dtype=np.uint64)[0].astype(np.int64)
-            lens[i] = len(s)
+        S21 = np.uint64(1) << np.uint64(21)
+        Mu = M.astype(np.uint64)
+        tri3 = (Mu[:, :-2] * S21 + Mu[:, 1:-1]) * S21 + Mu[:, 2:]
+        pos_ok = (np.arange(CHAR3_PREFIX - 2)[None, :] < (clens - 2)[:, None])
+        c3_vals = tri3[pos_ok]
+        c3_doc = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
+                                 tri3.shape)[pos_ok]
+        csmall = np.nonzero((clens > 0) & (clens < 3))[0]
+        if len(csmall):
+            # whole (short) string as the single gram — same packing, zero-
+            # padded: cannot collide with a real 3-gram (chars are ≥ 1)
+            sm = (Mu[csmall, 0] * S21 + Mu[csmall, 1]) * S21 + Mu[csmall, 2]
+            c3_vals = np.concatenate([c3_vals, sm])
+            c3_doc = np.concatenate([c3_doc, csmall.astype(np.int64)])
+        ch3_flat, ch3_off = _sorted_dedup_csr(c3_vals, c3_doc, n)
+
+        def _list_col(flat: np.ndarray, off: np.ndarray) -> pa.Array:
+            return pa.LargeListArray.from_arrays(
+                pa.array(off, pa.int64()),
+                pa.array(flat.astype(np.uint64), pa.uint64()))
+
         cols = {
             "doc_id": pa.array(ids, pa.int64()),
-            "tok": pa.array(tok_bytes, pa.binary()),
+            "tok": _list_col(tok_sorted, tok_off),
             "nset": pa.array(nsets, pa.int64()),
-            "shg": pa.array(shg_bytes, pa.binary()),
-            "ch3": pa.array(ch3_bytes, pa.binary()),
-            "prefix": pa.array(prefixes, pa.binary()),
-            "ftok": pa.array(ftoks, pa.binary()),
+            "shg": _list_col(shg_flat, shg_off),
+            "ch3": _list_col(ch3_flat, ch3_off),
+            "prefix": pa.array(
+                [row.tobytes() for row in M[:, :LEV_PREFIX]], pa.binary()),
+            "ftok": pa.array([row.tobytes() for row in ftoks], pa.binary()),
             "md5": pa.array(md5s, pa.int64()),
             "text_len": pa.array(lens, pa.int64()),
             "lang": langs,
@@ -131,15 +205,13 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
     tbl = tbl.take(pa.array(order, pa.int64()))
 
     ids = tbl.column("doc_id").to_numpy()
-    import pyarrow.compute as _pc
 
     def _flat_csr(col) -> tuple[np.ndarray, np.ndarray]:
+        """Arrow large_list<uint64> → (flat values, offsets) — zero-copy."""
         col = col.combine_chunks()
-        n_words = (_pc.binary_length(col).to_numpy() // 8).astype(np.int64)
-        blob = b"".join(col.to_pylist())  # one memcpy pass
-        data = np.frombuffer(blob, dtype=np.uint64) if blob else \
-            np.empty(0, np.uint64)
-        off = np.concatenate([[0], np.cumsum(n_words)]).astype(np.int64)
+        data = col.values.to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False)
+        off = col.offsets.to_numpy().astype(np.int64)
         return data, off
 
     def _flat_mat(col, width: int) -> np.ndarray:
