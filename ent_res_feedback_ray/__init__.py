@@ -18,6 +18,24 @@ engine; this is an idiomatic Ray Data design).
 __version__ = "0.2.0"
 
 
+def _tune_arrow_threads() -> None:
+    """Pin Arrow's internal thread pool to 1 inside Ray WORKER processes:
+    every worker already owns exactly one Ray CPU slot, so 32 workers × an
+    Arrow pool sized to all cores oversubscribes the box 32× on pyarrow
+    compute kernels (normalize, sort, take).  The driver keeps Arrow's
+    default pool."""
+    try:
+        import os
+
+        if os.environ.get("RAY_WORKER_RAYLET_ID") or "RAY_RAYLET_PID" in os.environ:
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(1)
+    except Exception:  # pragma: no cover
+        pass
+
+
 def _tune_malloc() -> None:
     """Keep large freed buffers in the malloc arena instead of returning them
     to the OS (glibc mmap's >128KB allocations and munmaps them on free, so
@@ -39,3 +57,4 @@ def _tune_malloc() -> None:
 
 
 _tune_malloc()
+_tune_arrow_threads()

@@ -391,6 +391,7 @@ def resolve_pages(
     scorer_concurrency=(1, 4),
     dedup: bool = False,
     broadcast_doc_limit: int = 2_000_000,
+    keep_features: bool = True,
 ) -> dict:
     """Full ER stage graph over a pages Dataset with ``url`` (and optionally
     ``doc_id``) columns.  Returns dict of Datasets:
@@ -420,6 +421,10 @@ def resolve_pages(
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     if norm.num_blocks() < max(2, ncpu // 2):
         norm = norm.repartition(max(2, ncpu // 2)).materialize()
+    elif norm.num_blocks() > 4 * ncpu:
+        # over-fragmented input: hundreds of micro-blocks serialize on task
+        # scheduling (fixed driver-side cost that more cores cannot shrink)
+        norm = norm.repartition(2 * ncpu).materialize()
 
     id_map = norm.select_columns(["doc_id", "url"])
 
@@ -431,11 +436,26 @@ def resolve_pages(
     # both blocking families emit (doc_id, block_key) rows into ONE unified
     # shuffle — key blocks keep their string key, LSH bands get a "band_…"
     # prefix — so pair generation pays a single sort barrier
+    # both families carry INT64 block keys through the unified shuffle:
+    # string keys from key blocking are fnv-hashed (salted so a key block
+    # can never collide with an LSH band key).  Integer keys shuffle ~3×
+    # fewer bytes than strings and never materialize millions of Python
+    # string objects; the readable key→hash mapping stays derivable from
+    # key_blocking_stage output upstream.
     key_sources = []
     n_sources = int(use_key_blocks) + int(use_lsh)
     if use_key_blocks:
+        from ..functions.hashing import fnv1a64 as _fnv
+
+        def _hash_keys(df: pd.DataFrame) -> pd.DataFrame:
+            h = _fnv(["kb_" + k for k in df["block_key"]])
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "block_key": (h >> np.uint64(1)).astype(np.int64)})
+
         key_sources.append(
-            key_blocking_stage(norm).select_columns(["doc_id", "block_key"]))
+            key_blocking_stage(norm).select_columns(["doc_id", "block_key"])
+            .map_batches(_hash_keys, batch_format="pandas"))
     if use_lsh:
         mh = minhash_stage(norm.select_columns(["doc_id", "norm_text"]),
                            num_perm=num_perm, seed=42)
@@ -443,7 +463,7 @@ def resolve_pages(
         key_sources.append(bands.map_batches(
             lambda df: pd.DataFrame({
                 "doc_id": df["doc_id"],
-                "block_key": "band_" + df["band_key"].astype(str)}),
+                "block_key": df["band_key"].to_numpy(np.int64)}),
             batch_format="pandas"))
     block_rows = key_sources[0]
     for extra in key_sources[1:]:
@@ -460,8 +480,11 @@ def resolve_pages(
 
     from ..stages.features import FEATURE_COLS
 
+    # feature columns are always COMPUTED (the score needs them) but only
+    # MATERIALIZED when a consumer wants them (feedback loops do; a pure
+    # blocking→scoring→clustering run saves ~80B/pair of object-store bytes)
     keep = ["block_key", "id1", "id2", "pairs_possible",
-            *FEATURE_COLS, "score", "constraint"]
+            *(FEATURE_COLS if keep_features else []), "score", "constraint"]
     n_docs = norm.count()
     if n_docs <= broadcast_doc_limit:
         # HOT PATH: featurize against broadcast doc signatures (sorted hash

@@ -1,30 +1,36 @@
-"""Hot-path featurization against broadcast per-doc signatures.
+"""Hot-path featurization against SHARDED broadcast per-doc signatures.
 
 The string-based featurizer (stages/features.py — the oracle-parity spec)
 materializes two Python strings per pair row; at millions of pairs that is
 memory-bandwidth-bound and stops scaling with cores.  This module keeps the
 pair stream as ``(block_key, id1, id2)`` integers and computes the SAME
-feature values from a compact, **zero-copy broadcast** signature table:
+feature values from compact per-doc signatures:
 
-- per doc: sorted uint64 FNV hashes of its token BAG (dups kept, for the
+- per doc: sorted 48-bit-masked hashes of its token BAG (dups kept, for the
   multiset counter-jaccard), its word-3-gram shingle set and its char-3-gram
   set (CSR layout: one flat array + offsets), the UTF-32 prefix matrix for
   Myers Levenshtein / LCP, the UTF-32 first-token matrix for Jaro-Winkler,
-  normalized length, lang code, warc_ts (µs), text md5;
-- the whole table is numpy arrays in the object store — ``ray.get`` gives
-  every worker a read-only view of the SAME plasma memory (no per-worker
-  heap copy, no deserialization);
-- per batch: set/bag intersections for ALL unique pairs at once via a
-  gather → value-code → sort-count kernel (zero per-pair Python); values are
-  bit-identical to the string-set path unless a 64-bit FNV collision occurs
-  inside one document (probability ~n_tokens²/2⁶⁴).
+  normalized length, lang hash, warc_ts (µs), text md5;
+- the table is SHARDED by doc-id range: a distributed sort + one assembly
+  RAY TASK per range builds each shard's numpy arrays INSIDE a worker and
+  leaves them in the object store — the driver only ever holds shard
+  boundary ids and ObjectRefs.  This matters beyond memory: on virtualized
+  hosts, first-touch page faults cost ~100µs/page in a single process, so a
+  driver-side concatenation of a multi-GB signature table serializes into
+  minutes; sharded assembly faults in parallel across workers;
+- workers ``ray.get`` each shard once (zero-copy plasma views, cached per
+  process) and gather a small BATCH-LOCAL doc table per batch — kernels run
+  on batch-local CSR with zero per-pair Python and zero per-batch sorts
+  (slices are pre-sorted; keys pack as owner·2⁴⁸ + value48);
+- values are bit-identical to the string-set path unless a 48-bit collision
+  occurs inside one document's bag union (probability ~n_tokens²/2⁴⁸).
 
 Empty-side semantics match the spec exactly: any jaccard with an empty side
 is NaN (NOT 0.0 — see strsim.jaccard / counter_jaccard).
 
-Scale boundary: the signature table must fit the object store (~300 bytes +
-~24·tokens per doc).  Beyond that, resolve_pages falls back to the
-``attach_attrs`` join path (stages/shuffleops.py).
+Scale boundary: the sharded table must fit the cluster object store
+(~300 bytes + ~24·tokens per doc).  Beyond that, resolve_pages falls back
+to the ``attach_attrs`` join path (stages/shuffleops.py).
 
 Reference analog: the fork-shared in-RAM corpus every featurizer worker read
 (/root/reference/s2and/featurizer.py:582-583) — done cluster-safe.
@@ -42,232 +48,292 @@ import ray.data
 
 from ..functions.hashing import fnv1a64
 from ..functions.strsim import (
-    encode_utf32,
     jaro_winkler_batch_encoded,
     lcp_batch_encoded,
     levenshtein_batch_myers_encoded,
 )
 from .features import CHAR3_PREFIX, CJ_CLAMP, FTOK_LEN, LEV_PREFIX, TS_CLAMP_DAYS
 
+# hash values are masked to 48 bits so (owner<<48 | value) packs into a
+# positive int64 for up-to-32768-pair batches — no global code dictionary
+_VAL_BITS = 48
+_VAL_SPACE = np.int64(1) << np.int64(_VAL_BITS)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _mask48(vals: np.ndarray) -> np.ndarray:
+    """Mix-then-truncate uint64 → 48-bit int64 (well-distributed)."""
+    with np.errstate(over="ignore"):
+        mixed = vals * _FNV_PRIME
+    return (mixed >> np.uint64(16)).astype(np.int64)
+
 
 class DocSignatures:
-    """Columnar per-doc signature table (all numpy; plasma-friendly)."""
+    """One SHARD of the columnar per-doc signature table (all numpy)."""
 
-    __slots__ = ("ids", "tok_flat", "tok_off", "tok_nset", "tok_ncodes",
-                 "shg_flat", "shg_off", "shg_ncodes",
-                 "ch3_flat", "ch3_off", "ch3_ncodes", "prefix", "prefix_len",
-                 "ftok", "ftok_len", "text_len", "lang_code", "text_md5",
-                 "ts_us")
+    __slots__ = ("ids", "tok_flat", "tok_off", "tok_nset",
+                 "shg_flat", "shg_off", "ch3_flat", "ch3_off",
+                 "prefix", "prefix_len", "ftok", "ftok_len",
+                 "text_len", "lang_code", "text_md5", "ts_us")
 
     def __init__(self, **kw):
         for k in self.__slots__:
             setattr(self, k, kw[k])
 
 
-def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
-                         norm_col: str = "norm_text",
-                         lang_col: str = "lang",
-                         ts_col: str = "warc_ts") -> DocSignatures:
-    """Distributed signature build (map_batches), driver-side concatenation,
-    sorted by doc id.  Lang codes are a deterministic factorization.
-    ``ts_col`` is optional — absent input → ts_diff_days is NaN downstream."""
-    have_ts = ts_col in norm_ds.schema().names
+class ShardedSignatures:
+    """Driver-side handle: a tiny routing index (sorted doc ids → shard,
+    local position) + shard ObjectRefs.  ~24 bytes/doc on the driver; the
+    heavy arrays never leave the object store."""
 
-    def _sorted_dedup_csr(vals: np.ndarray, doc: np.ndarray, n: int):
-        """(values, owning doc) → per-doc sorted DISTINCT CSR (vectorized)."""
+    __slots__ = ("route_ids", "route_shard", "route_local", "refs", "have_ts")
+
+    def __init__(self, route_ids, route_shard, route_local, refs, have_ts):
+        self.route_ids = route_ids
+        self.route_shard = route_shard
+        self.route_local = route_local
+        self.refs = refs
+        self.have_ts = have_ts
+
+
+def _sig_batch(t: pa.Table, id_col: str, norm_col: str, lang_col: str,
+               ts_col: str, have_ts: bool) -> pa.Table:
+    """Batch-vectorized signature build: ONE columnar fnv pass over all
+    tokens of the batch; shingle hashes derived arithmetically from
+    consecutive token hashes; char-3-grams as packed codepoint triples;
+    per-doc sort/dedup via one lexsort.  The only per-doc Python is the
+    cheap split/encode/md5."""
+    from itertools import chain
+
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    norms = t.column(norm_col).to_pylist()
+    langs = t.column(lang_col).to_pylist()
+    n = len(norms)
+    tok_lists = [(s or "").split() for s in norms]
+    counts = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+    th = fnv1a64(list(chain.from_iterable(tok_lists)))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    def _sorted_dedup_csr(vals: np.ndarray, doc: np.ndarray):
+        """(masked values, owning doc) → per-doc sorted DISTINCT CSR."""
         if len(vals) == 0:
-            return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+            return np.empty(0, np.int64), np.zeros(n + 1, np.int64)
         order = np.lexsort((vals, doc))
         v, d = vals[order], doc[order]
         keep = np.concatenate([[True], (v[1:] != v[:-1]) | (d[1:] != d[:-1])])
         v, d = v[keep], d[keep]
-        counts = np.bincount(d, minlength=n)
-        off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        return v, off
+        c = np.bincount(d, minlength=n)
+        return v, np.concatenate([[0], np.cumsum(c)]).astype(np.int64)
 
-    def _sig(t: pa.Table) -> pa.Table:
-        """Batch-vectorized signature build: ONE columnar fnv pass over all
-        tokens of the batch; shingle hashes derived arithmetically from
-        consecutive token hashes; char-3-grams as INJECTIVE packed
-        codepoints (c0·2⁴² + c1·2²¹ + c2 — no collisions at all); per-doc
-        sort/dedup via one lexsort.  The only per-doc Python is the cheap
-        split/encode/md5."""
-        from itertools import chain
+    # token BAG (masked, per-doc sorted, dups kept) + distinct count
+    tm = _mask48(th)
+    if len(tm):
+        order = np.lexsort((tm, doc_idx))
+        tok_sorted = tm[order]
+        dsort = doc_idx[order]
+        first = np.concatenate(
+            [[True], (tok_sorted[1:] != tok_sorted[:-1])
+             | (dsort[1:] != dsort[:-1])])
+        nsets = np.bincount(dsort[first], minlength=n).astype(np.int64)
+    else:
+        tok_sorted = tm
+        nsets = np.zeros(n, np.int64)
+    tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        norms = t.column(norm_col).to_pylist()
-        langs = t.column(lang_col)
-        n = len(norms)
-        tok_lists = [(s or "").split() for s in norms]
-        counts = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
-        th = fnv1a64(list(chain.from_iterable(tok_lists)))
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # shingles: hash-combine consecutive token hashes (same-doc triples);
+    # docs with 1-2 tokens emit ONE shingle = fnv of the joined words
+    if len(th) >= 3:
+        with np.errstate(over="ignore"):
+            tri = (th[:-2] * _FNV_PRIME + th[1:-1]) * _FNV_PRIME + th[2:]
+        ok = doc_idx[:-2] == doc_idx[2:]
+        sh_vals, sh_doc = tri[ok], doc_idx[:-2][ok]
+    else:
+        sh_vals = np.empty(0, np.uint64)
+        sh_doc = np.empty(0, np.int64)
+    small = np.nonzero((counts > 0) & (counts < 3))[0]
+    if len(small):
+        sv = fnv1a64([" ".join(tok_lists[i]) for i in small])
+        sh_vals = np.concatenate([sh_vals, sv])
+        sh_doc = np.concatenate([sh_doc, small.astype(np.int64)])
+    shg_flat, shg_off = _sorted_dedup_csr(_mask48(sh_vals), sh_doc)
 
-        # token BAG: per-doc sorted with dups; nset from the dedup pass
-        if len(th):
-            order = np.lexsort((th, doc_idx))
-            tok_sorted = th[order]
-            dsort = doc_idx[order]
-            first = np.concatenate(
-                [[True], (tok_sorted[1:] != tok_sorted[:-1])
-                 | (dsort[1:] != dsort[:-1])])
-            nsets = np.bincount(dsort[first], minlength=n).astype(np.int64)
-        else:
-            tok_sorted = th
-            nsets = np.zeros(n, np.int64)
-        tok_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    # prefix / first-token matrices + packed char-3-grams over s[:100]
+    lens = np.fromiter((len(s or "") for s in norms), np.int64, count=n)
+    clens = np.minimum(lens, CHAR3_PREFIX).astype(np.int64)
+    M = np.zeros((n, CHAR3_PREFIX), dtype=np.uint32)
+    ftoks = np.zeros((n, FTOK_LEN), dtype=np.uint32)
+    md5s = np.empty(n, dtype=np.int64)
+    for i, s in enumerate(norms):
+        s = s or ""
+        if s:
+            enc = np.frombuffer(
+                s[:CHAR3_PREFIX].encode("utf-32-le"), dtype=np.uint32)
+            M[i, : len(enc)] = enc
+            ft = tok_lists[i][0][:FTOK_LEN] if tok_lists[i] else ""
+            if ft:
+                fenc = np.frombuffer(ft.encode("utf-32-le"), dtype=np.uint32)
+                ftoks[i, : len(fenc)] = fenc
+        md5s[i] = np.frombuffer(
+            hashlib.md5(s.encode("utf-8")).digest()[:8],
+            dtype=np.uint64)[0].astype(np.int64)
+    S21 = np.uint64(1) << np.uint64(21)
+    Mu = M.astype(np.uint64)
+    tri3 = (Mu[:, :-2] * S21 + Mu[:, 1:-1]) * S21 + Mu[:, 2:]
+    pos_ok = (np.arange(CHAR3_PREFIX - 2)[None, :] < (clens - 2)[:, None])
+    c3_vals = tri3[pos_ok]
+    c3_doc = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
+                             tri3.shape)[pos_ok]
+    csmall = np.nonzero((clens > 0) & (clens < 3))[0]
+    if len(csmall):
+        sm = (Mu[csmall, 0] * S21 + Mu[csmall, 1]) * S21 + Mu[csmall, 2]
+        c3_vals = np.concatenate([c3_vals, sm])
+        c3_doc = np.concatenate([c3_doc, csmall.astype(np.int64)])
+    ch3_flat, ch3_off = _sorted_dedup_csr(_mask48(c3_vals), c3_doc)
 
-        # shingles: hash-combine consecutive token hashes (same-doc triples);
-        # docs with 1-2 tokens emit ONE shingle = fnv of the joined words
-        # (word_ngrams semantics)
-        P = np.uint64(0x100000001B3)
-        if len(th) >= 3:
-            with np.errstate(over="ignore"):
-                tri = (th[:-2] * P + th[1:-1]) * P + th[2:]
-            ok = doc_idx[:-2] == doc_idx[2:]
-            sh_vals, sh_doc = tri[ok], doc_idx[:-2][ok]
-        else:
-            sh_vals = np.empty(0, np.uint64)
-            sh_doc = np.empty(0, np.int64)
-        small = np.nonzero((counts > 0) & (counts < 3))[0]
-        if len(small):
-            sv = fnv1a64([" ".join(tok_lists[i]) for i in small])
-            sh_vals = np.concatenate([sh_vals, sv])
-            sh_doc = np.concatenate([sh_doc, small.astype(np.int64)])
-        shg_flat, shg_off = _sorted_dedup_csr(sh_vals, sh_doc, n)
+    # lang as a stable hash (NOT a factorization — codes must agree across
+    # shards without a global pass)
+    lang_codes = _mask48(fnv1a64([x or "" for x in langs]))
 
-        # prefix / first-token matrices + packed char-3-grams over s[:100]
-        lens = np.fromiter((len(s or "") for s in norms), np.int64, count=n)
-        clens = np.minimum(lens, CHAR3_PREFIX).astype(np.int64)
-        M = np.zeros((n, CHAR3_PREFIX), dtype=np.uint32)
-        ftoks = np.zeros((n, FTOK_LEN), dtype=np.uint32)
-        md5s = np.empty(n, dtype=np.int64)
-        for i, s in enumerate(norms):
-            s = s or ""
-            if s:
-                enc = np.frombuffer(
-                    s[:CHAR3_PREFIX].encode("utf-32-le"), dtype=np.uint32)
-                M[i, : len(enc)] = enc
-                ft = tok_lists[i][0][:FTOK_LEN] if tok_lists[i] else ""
-                if ft:
-                    fenc = np.frombuffer(ft.encode("utf-32-le"), dtype=np.uint32)
-                    ftoks[i, : len(fenc)] = fenc
-            md5s[i] = np.frombuffer(
-                hashlib.md5(s.encode("utf-8")).digest()[:8],
-                dtype=np.uint64)[0].astype(np.int64)
-        S21 = np.uint64(1) << np.uint64(21)
-        Mu = M.astype(np.uint64)
-        tri3 = (Mu[:, :-2] * S21 + Mu[:, 1:-1]) * S21 + Mu[:, 2:]
-        pos_ok = (np.arange(CHAR3_PREFIX - 2)[None, :] < (clens - 2)[:, None])
-        c3_vals = tri3[pos_ok]
-        c3_doc = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
-                                 tri3.shape)[pos_ok]
-        csmall = np.nonzero((clens > 0) & (clens < 3))[0]
-        if len(csmall):
-            # whole (short) string as the single gram — same packing, zero-
-            # padded: cannot collide with a real 3-gram (chars are ≥ 1)
-            sm = (Mu[csmall, 0] * S21 + Mu[csmall, 1]) * S21 + Mu[csmall, 2]
-            c3_vals = np.concatenate([c3_vals, sm])
-            c3_doc = np.concatenate([c3_doc, csmall.astype(np.int64)])
-        ch3_flat, ch3_off = _sorted_dedup_csr(c3_vals, c3_doc, n)
+    def _list_col(flat: np.ndarray, off: np.ndarray) -> pa.Array:
+        return pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()),
+            pa.array(flat.astype(np.int64), pa.int64()))
 
-        def _list_col(flat: np.ndarray, off: np.ndarray) -> pa.Array:
-            return pa.LargeListArray.from_arrays(
-                pa.array(off, pa.int64()),
-                pa.array(flat.astype(np.uint64), pa.uint64()))
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "tok": _list_col(tok_sorted, tok_off),
+        "nset": pa.array(nsets, pa.int64()),
+        "shg": _list_col(shg_flat, shg_off),
+        "ch3": _list_col(ch3_flat, ch3_off),
+        "prefix": pa.array(
+            [row.tobytes() for row in M[:, :LEV_PREFIX]], pa.binary()),
+        "ftok": pa.array([row.tobytes() for row in ftoks], pa.binary()),
+        "md5": pa.array(md5s, pa.int64()),
+        "text_len": pa.array(lens, pa.int64()),
+        "lang_code": pa.array(lang_codes, pa.int64()),
+    }
+    if have_ts:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cols["ts_us"] = pa.array(ts, pa.int64())
+    return pa.table(cols)
 
-        cols = {
-            "doc_id": pa.array(ids, pa.int64()),
-            "tok": _list_col(tok_sorted, tok_off),
-            "nset": pa.array(nsets, pa.int64()),
-            "shg": _list_col(shg_flat, shg_off),
-            "ch3": _list_col(ch3_flat, ch3_off),
-            "prefix": pa.array(
-                [row.tobytes() for row in M[:, :LEV_PREFIX]], pa.binary()),
-            "ftok": pa.array([row.tobytes() for row in ftoks], pa.binary()),
-            "md5": pa.array(md5s, pa.int64()),
-            "text_len": pa.array(lens, pa.int64()),
-            "lang": langs,
-        }
-        if have_ts:
-            ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(
-                "datetime64[us]").astype(np.int64)
-            cols["ts_us"] = pa.array(ts, pa.int64())
-        return pa.table(cols)
 
-    # pull as arrow (binary columns stay contiguous buffers — the driver
-    # concatenation is a few memcpys, not 300k tiny-array concats)
-    tables = list(norm_ds.map_batches(_sig, batch_format="pyarrow",
-                                      batch_size=8192).iter_batches(
-        batch_size=None, batch_format="pyarrow"))
-    tbl = pa.concat_tables(tables).combine_chunks()
+def _assemble_shard(tbl: pa.Table, have_ts: bool) -> DocSignatures:
+    """One map-output block → a DocSignatures shard sorted by doc id (runs
+    in a TASK; the arrays fault in that worker, in parallel with the other
+    shards, and return to the object store)."""
+    tbl = tbl.combine_chunks()
     order = np.argsort(tbl.column("doc_id").to_numpy(), kind="stable")
     tbl = tbl.take(pa.array(order, pa.int64()))
+    ids = tbl.column("doc_id").to_numpy().astype(np.int64)
 
-    ids = tbl.column("doc_id").to_numpy()
-
-    def _flat_csr(col) -> tuple[np.ndarray, np.ndarray]:
-        """Arrow large_list<uint64> → (flat values, offsets) — zero-copy."""
-        col = col.combine_chunks()
+    def _flat_csr(name: str):
+        col = tbl.column(name).combine_chunks()
         data = col.values.to_numpy(zero_copy_only=False).astype(
-            np.uint64, copy=False)
+            np.int64, copy=False)
         off = col.offsets.to_numpy().astype(np.int64)
-        return data, off
+        return np.ascontiguousarray(data), off
 
-    def _flat_mat(col, width: int) -> np.ndarray:
-        col = col.combine_chunks()
+    def _flat_mat(name: str, width: int) -> np.ndarray:
+        col = tbl.column(name).combine_chunks()
         return np.frombuffer(b"".join(col.to_pylist()),
                              dtype=np.uint32).reshape(len(ids), width)
 
-    def _recode(flat: np.ndarray) -> tuple[np.ndarray, int]:
-        """Map uint64 hashes → dense MONOTONE int64 codes, computed once for
-        the whole corpus.  Monotone ⇒ per-doc slices stay sorted, so the
-        per-batch kernel needs no sorts at all (see pair_bag_stats)."""
-        if len(flat) == 0:
-            return flat.astype(np.int64), 0
-        uniq, inv = np.unique(flat, return_inverse=True)
-        return inv.astype(np.int64), len(uniq)
-
-    tok_flat, tok_off = _flat_csr(tbl.column("tok"))
-    shg_flat, shg_off = _flat_csr(tbl.column("shg"))
-    ch3_flat, ch3_off = _flat_csr(tbl.column("ch3"))
-    tok_flat, tok_ncodes = _recode(tok_flat)
-    shg_flat, shg_ncodes = _recode(shg_flat)
-    ch3_flat, ch3_ncodes = _recode(ch3_flat)
-    prefix = _flat_mat(tbl.column("prefix"), LEV_PREFIX)
-    ftok = _flat_mat(tbl.column("ftok"), FTOK_LEN)
-    text_len = tbl.column("text_len").to_numpy()
-    prefix_len = np.minimum(text_len, LEV_PREFIX).astype(np.int64)
-    ftok_len = (ftok != 0).sum(axis=1).astype(np.int64)
-    lang_codes, _ = pd.factorize(
-        pd.Series(tbl.column("lang").to_pylist()), sort=True)
-    ts_us = (tbl.column("ts_us").to_numpy().astype(np.int64)
-             if have_ts else None)
+    tok_flat, tok_off = _flat_csr("tok")
+    shg_flat, shg_off = _flat_csr("shg")
+    ch3_flat, ch3_off = _flat_csr("ch3")
+    prefix = _flat_mat("prefix", LEV_PREFIX)
+    ftok = _flat_mat("ftok", FTOK_LEN)
+    text_len = tbl.column("text_len").to_numpy().astype(np.int64)
     return DocSignatures(
-        ids=ids.astype(np.int64),
-        tok_flat=np.ascontiguousarray(tok_flat),
-        tok_off=tok_off.astype(np.int64),
+        ids=ids,
+        tok_flat=tok_flat, tok_off=tok_off,
         tok_nset=tbl.column("nset").to_numpy().astype(np.int64),
-        tok_ncodes=tok_ncodes,
-        shg_flat=np.ascontiguousarray(shg_flat),
-        shg_off=shg_off.astype(np.int64),
-        shg_ncodes=shg_ncodes,
-        ch3_flat=np.ascontiguousarray(ch3_flat),
-        ch3_off=ch3_off.astype(np.int64),
-        ch3_ncodes=ch3_ncodes,
+        shg_flat=shg_flat, shg_off=shg_off,
+        ch3_flat=ch3_flat, ch3_off=ch3_off,
         prefix=np.ascontiguousarray(prefix),
-        prefix_len=prefix_len,
+        prefix_len=np.minimum(text_len, LEV_PREFIX).astype(np.int64),
         ftok=np.ascontiguousarray(ftok),
-        ftok_len=ftok_len,
-        text_len=text_len.astype(np.int64),
-        lang_code=lang_codes.astype(np.int64),
+        ftok_len=(ftok != 0).sum(axis=1).astype(np.int64),
+        text_len=text_len,
+        lang_code=tbl.column("lang_code").to_numpy().astype(np.int64),
         text_md5=tbl.column("md5").to_numpy().astype(np.int64),
-        ts_us=ts_us,
+        ts_us=(tbl.column("ts_us").to_numpy().astype(np.int64)
+               if have_ts else None),
     )
 
 
+@ray.remote(num_returns=2)
+def _sig_shard_task(tbl: pa.Table, id_col: str, norm_col: str,
+                    lang_col: str, ts_col: str, have_ts: bool):
+    """One norm block → one assembled shard, FUSED in a single task: the
+    intermediate signature table never hits the object store (halves the
+    plasma write volume — which is a SERIAL cost on fault-throttled hosts)."""
+    chunks = []
+    for lo in range(0, tbl.num_rows, 8192):
+        chunks.append(_sig_batch(tbl.slice(lo, 8192), id_col, norm_col,
+                                 lang_col, ts_col, have_ts))
+    sig = _assemble_shard(pa.concat_tables(chunks), have_ts)
+    return sig.ids, sig
+
+
+def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
+                         norm_col: str = "norm_text",
+                         lang_col: str = "lang",
+                         ts_col: str = "warc_ts") -> ShardedSignatures:
+    """Distributed signature build: map_batches sketching → distributed sort
+    by doc id → ONE assembly task per sorted block.  The driver touches only
+    shard boundaries and ObjectRefs; every heavy array faults inside a
+    worker, in parallel, and lives in the object store."""
+    import os as _os
+    import time as _time
+
+    _prof = bool(_os.environ.get("GRAFT_SIG_PROFILE"))
+
+    def _tick(label, s):
+        if _prof:
+            print(f"SIGPROF {label} {_time.perf_counter() - s:.2f}", flush=True)
+        return _time.perf_counter()
+
+    have_ts = ts_col in norm_ds.schema().names
+    s = _time.perf_counter()
+    # NO shuffle, NO intermediate: every input block (disjoint docs) becomes
+    # one shard via a single fused task; lookup goes through a tiny sorted
+    # routing index instead of ranges
+    block_refs = norm_ds.to_arrow_refs()
+    s = _tick("refs", s)
+    id_refs, sig_refs = [], []
+    for b in block_refs:
+        ids_ref, sref = _sig_shard_task.remote(
+            b, id_col, norm_col, lang_col, ts_col, have_ts)
+        id_refs.append(ids_ref)
+        sig_refs.append(sref)
+    id_lists = ray.get(id_refs)
+    s = _tick("assemble", s)
+    keep = [(ids, r) for ids, r in zip(id_lists, sig_refs) if len(ids)]
+    if not keep:
+        empty = _assemble_shard(
+            _sig_batch(pa.table({id_col: pa.array([], pa.int64()),
+                                 norm_col: pa.array([], pa.string()),
+                                 lang_col: pa.array([], pa.string())}),
+                       id_col, norm_col, lang_col, ts_col, False), False)
+        z = np.empty(0, np.int64)
+        return ShardedSignatures(z, z, z, [ray.put(empty)], have_ts)
+    route_ids = np.concatenate([ids for ids, _ in keep])
+    route_shard = np.repeat(np.arange(len(keep), dtype=np.int64),
+                            [len(ids) for ids, _ in keep])
+    route_local = np.concatenate(
+        [np.arange(len(ids), dtype=np.int64) for ids, _ in keep])
+    o = np.argsort(route_ids, kind="stable")
+    handle = ShardedSignatures(route_ids[o], route_shard[o], route_local[o],
+                               [r for _, r in keep], have_ts)
+    _tick("route", s)
+    return handle
+
+
 # ---------------------------------------------------------------------------
-# Vectorized CSR pair-intersection kernel (zero per-pair Python)
+# Vectorized CSR pair-intersection kernel (zero per-pair Python, zero sorts)
 # ---------------------------------------------------------------------------
 
 def _gather_csr(flat: np.ndarray, off: np.ndarray, docs: np.ndarray):
@@ -289,27 +355,26 @@ def _rle_sorted(k: np.ndarray):
     return k[starts], np.diff(np.append(starts, len(k)))
 
 
-def pair_bag_stats(flat: np.ndarray, off: np.ndarray, ncodes: int,
+def pair_bag_stats(flat: np.ndarray, off: np.ndarray,
                    u1: np.ndarray, u2: np.ndarray, bag: bool = False):
     """Per pair k: |set(A)∩set(B)| (and the multiset intersection when
     ``bag``) over the CSR slices of docs u1[k], u2[k].
 
-    Zero sorts: ``flat`` holds dense MONOTONE value codes (see ``_recode``),
-    so ``owner·C + code`` is globally sorted by construction (owner index is
-    non-decreasing, slices are sorted) — intersections reduce to one
-    ``searchsorted`` between two pre-sorted key streams."""
+    Zero sorts: values are 48-bit, slices pre-sorted, so
+    ``owner·2⁴⁸ + value`` is globally sorted by construction — intersections
+    reduce to one ``searchsorted`` between two pre-sorted key streams."""
     m = len(u1)
     if m == 0:
         z = np.zeros(0, np.int64)
         return z, z
+    assert m <= (1 << 15), "batch too large for 48-bit key packing"
     v1, p1, _ = _gather_csr(flat, off, u1)
     v2, p2, _ = _gather_csr(flat, off, u2)
     if len(v1) == 0 or len(v2) == 0:
         z = np.zeros(m, np.int64)
         return z, z.copy()
-    C = np.int64(max(ncodes, 1))
-    k1 = p1 * C + v1
-    k2 = p2 * C + v2
+    k1 = p1 * _VAL_SPACE + v1
+    k2 = p2 * _VAL_SPACE + v2
     if bag:
         uk1, n1 = _rle_sorted(k1)
         uk2, n2 = _rle_sorted(k2)
@@ -319,7 +384,7 @@ def pair_bag_stats(flat: np.ndarray, off: np.ndarray, ncodes: int,
     pos = np.searchsorted(uk2, uk1)
     pos_c = np.minimum(pos, len(uk2) - 1)
     match = uk2[pos_c] == uk1
-    mp = uk1[match] // C
+    mp = uk1[match] // _VAL_SPACE
     set_inter = np.bincount(mp, minlength=m).astype(np.int64)
     if not bag:
         return set_inter, set_inter
@@ -338,6 +403,63 @@ def _jaccard_from_inter(inter: np.ndarray, l1: np.ndarray,
     return np.where((l1 > 0) & (l2 > 0), out, np.nan)
 
 
+def _local_signatures(handle: ShardedSignatures, shards: list,
+                      uids: np.ndarray) -> DocSignatures:
+    """Gather a BATCH-LOCAL signature table for the (sorted, unique) doc ids
+    of one batch — small fresh arrays that the worker's arena reuses.  Rows
+    come out aligned to ``uids`` order regardless of shard layout."""
+    pos = np.searchsorted(handle.route_ids, uids)
+    sh = handle.route_shard[pos]
+    loc = handle.route_local[pos]
+    order = np.argsort(sh, kind="stable")   # shard-major build order
+    # the local table is built in SHARD-MAJOR order; callers translate uid
+    # index j → local row inv[j] (one indirection instead of re-gathering
+    # every CSR slice a second time — the batch-local copy is the hot path's
+    # main memory traffic)
+    inv = np.empty(len(uids), np.int64)
+    inv[order] = np.arange(len(uids))
+    sh_o, loc_o = sh[order], loc[order]
+    runs = np.flatnonzero(np.concatenate(
+        [[True], sh_o[1:] != sh_o[:-1]])) if len(sh_o) else np.empty(0, np.int64)
+    ends = np.append(runs[1:], len(sh_o))
+    parts = [(shards[sh_o[rs]], loc_o[rs:re]) for rs, re in zip(runs, ends)]
+
+    def cat(name):
+        return np.concatenate([getattr(sd, name)[lc] for sd, lc in parts])
+
+    def cat_csr(fname, oname):
+        flats, lens_all = [], []
+        for sd, lc in parts:
+            flat, off = getattr(sd, fname), getattr(sd, oname)
+            v, _, lens = _gather_csr(flat, off, lc)
+            flats.append(v)
+            lens_all.append(lens)
+        flat_sm = (np.concatenate(flats) if flats else np.empty(0, np.int64))
+        lens_sm = (np.concatenate(lens_all) if lens_all
+                   else np.empty(0, np.int64))
+        off = np.concatenate([[0], np.cumsum(lens_sm)]).astype(np.int64)
+        return flat_sm, off
+
+    tok_flat, tok_off = cat_csr("tok_flat", "tok_off")
+    shg_flat, shg_off = cat_csr("shg_flat", "shg_off")
+    ch3_flat, ch3_off = cat_csr("ch3_flat", "ch3_off")
+    sig = DocSignatures(
+        ids=uids[order],  # row-aligned (shard-major) doc ids
+        tok_flat=tok_flat, tok_off=tok_off, tok_nset=cat("tok_nset"),
+        shg_flat=shg_flat, shg_off=shg_off,
+        ch3_flat=ch3_flat, ch3_off=ch3_off,
+        prefix=cat("prefix"),
+        prefix_len=cat("prefix_len"),
+        ftok=cat("ftok"),
+        ftok_len=cat("ftok_len"),
+        text_len=cat("text_len"),
+        lang_code=cat("lang_code"),
+        text_md5=cat("text_md5"),
+        ts_us=cat("ts_us") if handle.have_ts else None,
+    )
+    return sig, inv
+
+
 def featurize_and_score_fast(
     pairs_ds: ray.data.Dataset,
     sig_ref,
@@ -345,18 +467,17 @@ def featurize_and_score_fast(
     lang_rule: bool = True,
     exact_text_rule: bool = True,
     alias_pairs=None,
-    # 4096 keeps every temporary a few MB: small enough to stay in the malloc
-    # arena and be reused across batches (fresh first-touch pages cost
-    # ~300µs/page on virtualized hosts — measured 0.8s vs 34s for the same
-    # work at batch 32768), big enough to amortize the kernel setup.
+    # 4096 pairs/batch balances per-batch fixed work (shard-local gathers)
+    # against per-worker arena footprint (~20 MB, faulted once per worker —
+    # callers that care warm the pool first; see bench.run_er_scaled).
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """pairs (block_key, id1, id2, …) → + FEATURE_COLS + score + constraint.
 
-    One fused stateless stage: signature lookups are zero-copy views into
-    plasma; no Python strings touch the pair stream, no per-pair Python runs.
-    Feature values and the linear score are bit-identical to the string path
-    (features.py) modulo 64-bit hash collisions."""
+    One fused stateless stage: shard lookups are zero-copy views into
+    plasma; no Python strings touch the pair stream, no per-pair Python
+    runs.  Feature values and the linear score are bit-identical to the
+    string path (features.py) modulo 48-bit hash collisions."""
     from .constraints import canonical_alias_set
 
     seed_df = None
@@ -367,38 +488,42 @@ def featurize_and_score_fast(
     seeds_ref = ray.put(seed_df)
     alias_ref = ray.put(canonical_alias_set(alias_pairs))
 
-    def _decode_ftok(sig: "DocSignatures", docs: np.ndarray) -> list[str]:
-        rows = sig.ftok[docs]
-        lens = sig.ftok_len[docs]
+    def _decode_ftok(sig: DocSignatures, idx: np.ndarray) -> list[str]:
+        rows = sig.ftok[idx]
+        lens = sig.ftok_len[idx]
         return [bytes(rows[i, :lens[i]].view(np.uint8)).decode("utf-32-le")
-                if lens[i] else "" for i in range(len(docs))]
+                if lens[i] else "" for i in range(len(idx))]
 
     def _fast(batch: pa.Table) -> pa.Table:
         from .shuffleops import _broadcast_get
 
-        sig: DocSignatures = _broadcast_get(sig_ref)
+        handle: ShardedSignatures = _broadcast_get(sig_ref)
+        shards = [_broadcast_get(r) for r in handle.refs]
         n = batch.num_rows
         id1 = batch.column("id1").to_numpy(zero_copy_only=False)
         id2 = batch.column("id2").to_numpy(zero_copy_only=False)
-        i1 = np.searchsorted(sig.ids, id1)
-        i2 = np.searchsorted(sig.ids, id2)
+
+        # batch-local doc table for the unique docs of this batch (rows in
+        # shard-major order; ``inv`` maps sorted-uid index → local row)
+        uids = np.unique(np.concatenate([id1, id2]))
+        sig, inv_row = _local_signatures(handle, shards, uids)
+        li1 = inv_row[np.searchsorted(uids, id1)]
+        li2 = inv_row[np.searchsorted(uids, id2)]
 
         # unique doc-pairs within the batch (blocks repeat docs heavily)
-        key = i1.astype(np.int64) * len(sig.ids) + i2
+        key = li1.astype(np.int64) * len(uids) + li2
         uniq, inv = np.unique(key, return_inverse=True)
-        u1 = (uniq // len(sig.ids)).astype(np.int64)
-        u2 = (uniq % len(sig.ids)).astype(np.int64)
+        u1 = (uniq // len(uids)).astype(np.int64)
+        u2 = (uniq % len(uids)).astype(np.int64)
 
         tok_sizes = np.diff(sig.tok_off)  # bag sizes (with dups)
         shg_sizes = np.diff(sig.shg_off)
         ch3_sizes = np.diff(sig.ch3_off)
 
         tset_i, tbag_i = pair_bag_stats(sig.tok_flat, sig.tok_off,
-                                        sig.tok_ncodes, u1, u2, bag=True)
-        sset_i, _ = pair_bag_stats(sig.shg_flat, sig.shg_off,
-                                   sig.shg_ncodes, u1, u2)
-        cset_i, _ = pair_bag_stats(sig.ch3_flat, sig.ch3_off,
-                                   sig.ch3_ncodes, u1, u2)
+                                        u1, u2, bag=True)
+        sset_i, _ = pair_bag_stats(sig.shg_flat, sig.shg_off, u1, u2)
+        cset_i, _ = pair_bag_stats(sig.ch3_flat, sig.ch3_off, u1, u2)
 
         tj_u = _jaccard_from_inter(tset_i, sig.tok_nset[u1], sig.tok_nset[u2])
         sj_u = _jaccard_from_inter(sset_i, shg_sizes[u1], shg_sizes[u2])

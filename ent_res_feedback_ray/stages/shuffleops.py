@@ -41,7 +41,10 @@ def _broadcast_get(ref):
 
     key = ref.hex()
     if key not in _BROADCAST_CACHE:
-        if len(_BROADCAST_CACHE) >= 4:
+        # sharded side tables hold one ref per shard; numpy payloads are
+        # zero-copy plasma views so cached entries cost only their pickle
+        # skeletons — cap generously
+        if len(_BROADCAST_CACHE) >= 512:
             _BROADCAST_CACHE.clear()
         _BROADCAST_CACHE[key] = _ray.get(ref)
     return _BROADCAST_CACHE[key]
