@@ -128,3 +128,36 @@ def test_fast_constraints():
         seeds={(3, 4): "disallow"}).to_pandas().set_index(["id1", "id2"])
     assert out.loc[(0, 1), "constraint"] == 0.0       # exact text → require
     assert out.loc[(3, 4), "constraint"] == 1.0e4     # seed disallow wins
+
+
+def test_fast_path_many_shards():
+    """Routing correctness with MANY signature shards: repartitioning the
+    doc table must not change any feature value (shard layout is an
+    implementation detail)."""
+    docs = _docs()
+    docs["warc_ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        docs["doc_id"] * 11, unit="m")
+    docs["warc_ts"] = docs["warc_ts"].astype("datetime64[us]")
+    rng = np.random.default_rng(9)
+    id1 = rng.integers(0, 60, 250)
+    id2 = rng.integers(0, 60, 250)
+    keep = id1 != id2
+    pairs = pd.DataFrame({
+        "block_key": "b",
+        "id1": np.minimum(id1, id2)[keep],
+        "id2": np.maximum(id1, id2)[keep],
+        "pairs_possible": np.int64(1),
+    })
+    outs = []
+    for nshards in (1, 7):
+        ds = ray.data.from_pandas(docs).repartition(nshards).materialize()
+        sig = build_doc_signatures(ds)
+        assert len(sig.refs) == nshards
+        out = featurize_and_score_fast(
+            ray.data.from_pandas(pairs), ray.put(sig)).to_pandas()
+        outs.append(out.sort_values(["id1", "id2"]).reset_index(drop=True))
+    for c in [*FEATURE_COLS, "score"]:
+        a = outs[0][c].to_numpy(np.float64)
+        b = outs[1][c].to_numpy(np.float64)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), c
