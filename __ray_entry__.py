@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er.clusters,
         "er_uncertain_topk": er.uncertain_topk,
         "er_quality": er.er_quality,
+        "er_lineage_counters": er.lineage_counters,
         "er_cluster_violations": er.cluster_violations,
         "er_claims_eval": er.claims_eval,
         "er_facet_eval": er.facet_eval,

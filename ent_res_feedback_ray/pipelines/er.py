@@ -762,6 +762,17 @@ FROM links GROUP BY src
 """.strip()
 
 
+def lineage_counters(sf_dir: str) -> ray.data.Dataset:
+    """North-rule per-block lineage counters as a driver-visible query:
+    (block_key, pairs_possible, pairs_generated, pairs_scored, edges_kept)
+    for the full key+LSH ER run — pairs_possible > pairs_generated is the
+    cap/window truncation log.  Rows-only (block keys are hashed int64 in
+    the unified shuffle)."""
+    result = resolve_pages(load_pages(sf_dir), use_key_blocks=True,
+                           use_lsh=True, keep_features=False)
+    return result["counters"]
+
+
 def cluster_violations(sf_dir: str) -> ray.data.Dataset:
     """Post-clustering compatibility validation — the graft analog of the
     reference's ``s2_funcs`` cluster-compatibility predicates
