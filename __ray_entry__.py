@@ -56,7 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_scores_trained": er.scores_trained,
         "er_incremental_clusters": er.incremental_clusters,
         "er_feedback_metrics": er.feedback_metrics,
-        "er_b3_by_lang_facet": er.b3_by_lang_facet,
+        # (er_b3_by_lang_facet retired from the registry: its lang facet is a
+        # strict subset of er_facet_eval's rows; the driver caps the
+        # correctness run at 50 queries, so duplicates cost coverage.)
         # --- relational operator surface (SURVEY.md §2.8/§2.9/§2.10/§2.11) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
@@ -74,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
         "token_document_frequency": textstats.token_document_frequency,
+        # --- multimodal plumbing (kept inside the driver's 50-query window) ---
+        "pages_binary_metadata": multimodal.pages_binary_metadata,
+        "pages_image_features": multimodal.pages_image_features,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup_groups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -81,14 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_dup_pairs,
         "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf,
-        # --- similarity search ---
+        # --- similarity search (lsh+ivf share one tagged query: 50-query cap) ---
         "ann_topk": similarity.ann_topk_bruteforce,
-        "ann_topk_lsh": similarity.ann_topk_lsh,
-        "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_approx": similarity.ann_topk_approx,
         "embedding_centroids": similarity.embedding_centroids,
-        # --- multimodal plumbing ---
-        "pages_binary_metadata": multimodal.pages_binary_metadata,
-        "pages_image_features": multimodal.pages_image_features,
     }
     return q
 
@@ -123,6 +124,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "pages_binary_metadata": multimodal.PAGES_BINARY_META_SQL,
         # rows-only (non-SQL-expressible): er_quality, doc_lang_id,
-        # dedup_simhash, ann_topk_lsh, embedding_centroids
+        # dedup_simhash, ann_topk_approx, embedding_centroids
     })
     return out

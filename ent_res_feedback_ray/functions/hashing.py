@@ -92,19 +92,47 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return vals.min(axis=0)
 
 
-def band_keys(signature: np.ndarray, num_bands: int) -> list[int]:
-    """LSH band keys: hash each band of the signature to a stable int64.
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+BAND_TAG_BIT = np.int64(1) << np.int64(62)
+"""Band keys live in [2^62, 2^63); key-block hashes in [0, 2^62) — the
+namespace disjointness is structural (a reserved tag bit), not
+probabilistic.  See pipelines/er.py unified blocking shuffle."""
 
-    Two docs collide in band i iff their signature rows in that band are
-    identical; collision probability for Jaccard s is 1−(1−s^r)^b.
-    """
-    rows = len(signature) // num_bands
-    keys = []
-    for i in range(num_bands):
-        band = signature[i * rows : (i + 1) * rows]
-        digest = hashlib.blake2b(band.tobytes() + i.to_bytes(4, "big"), digest_size=8).digest()
-        keys.append(int.from_bytes(digest, "big") >> 1)  # fits int64
-    return keys
+
+def band_keys_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Vectorized LSH band keys: [n, num_perm] uint64 signatures →
+    [n, num_bands] int64 keys.  Two docs collide in band i iff their
+    signature rows in that band are identical; collision probability for
+    Jaccard s is 1−(1−s^r)^b.
+
+    Per-band digest = FNV-style lane fold over the band's uint64 lanes with
+    a per-band salt, finished with a splitmix64 avalanche (public-domain
+    mixer) — no cryptographic strength needed for bucketing, and no per-row
+    Python (the old blake2b loop was the LSH hot path's last interpreter
+    loop).  Bit 62 is set on every key (band namespace tag)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    banded = np.ascontiguousarray(sigs[:, : rows * num_bands]).reshape(
+        n, num_bands, rows)
+    salts = _FNV_OFFSET ^ (np.arange(num_bands, dtype=np.uint64) * _GOLDEN)
+    with np.errstate(over="ignore"):
+        acc = np.broadcast_to(salts, (n, num_bands)).copy()
+        for lane in range(rows):
+            acc = (acc ^ banded[:, :, lane]) * _FNV_PRIME
+        acc ^= acc >> np.uint64(30)
+        acc *= _MIX1
+        acc ^= acc >> np.uint64(27)
+        acc *= _MIX2
+        acc ^= acc >> np.uint64(31)
+    return ((acc >> np.uint64(2)).astype(np.int64)) | BAND_TAG_BIT
+
+
+def band_keys(signature: np.ndarray, num_bands: int) -> list[int]:
+    """Single-signature convenience wrapper over ``band_keys_matrix``."""
+    return band_keys_matrix(
+        np.asarray(signature, dtype=np.uint64)[None, :], num_bands)[0].tolist()
 
 
 def estimate_minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -168,6 +196,8 @@ __all__ = [
     "minhash_params",
     "minhash_signature",
     "band_keys",
+    "band_keys_matrix",
+    "BAND_TAG_BIT",
     "estimate_minhash_jaccard",
     "simhash64",
     "hamming64",

@@ -437,11 +437,13 @@ def resolve_pages(
     # shuffle — key blocks keep their string key, LSH bands get a "band_…"
     # prefix — so pair generation pays a single sort barrier
     # both families carry INT64 block keys through the unified shuffle:
-    # string keys from key blocking are fnv-hashed (salted so a key block
-    # can never collide with an LSH band key).  Integer keys shuffle ~3×
-    # fewer bytes than strings and never materialize millions of Python
-    # string objects; the readable key→hash mapping stays derivable from
-    # key_blocking_stage output upstream.
+    # string keys from key blocking are fnv-hashed into [0, 2^62) while LSH
+    # band keys carry bit 62 (hashing.BAND_TAG_BIT), so the two namespaces
+    # are structurally disjoint — a cross-family collision is impossible,
+    # not merely improbable.  Integer keys shuffle ~3× fewer bytes than
+    # strings and never materialize millions of Python string objects; the
+    # readable key→hash mapping stays derivable from key_blocking_stage
+    # output upstream.
     key_sources = []
     n_sources = int(use_key_blocks) + int(use_lsh)
     if use_key_blocks:
@@ -451,7 +453,7 @@ def resolve_pages(
             h = _fnv(["kb_" + k for k in df["block_key"]])
             return pd.DataFrame({
                 "doc_id": df["doc_id"],
-                "block_key": (h >> np.uint64(1)).astype(np.int64)})
+                "block_key": (h >> np.uint64(2)).astype(np.int64)})
 
         key_sources.append(
             key_blocking_stage(norm).select_columns(["doc_id", "block_key"])
@@ -471,6 +473,22 @@ def resolve_pages(
     pairs = pairs_from_blocks(
         block_rows, block_col="block_key", id_col="doc_id", carry_cols=[],
         max_pairs_per_block=max_pairs_per_block)
+    if seeds:
+        # Guarantee every constraint seed is scored: a require seed between
+        # docs that share no block key or LSH band would otherwise never
+        # reappear as a candidate — a silent no-op on exactly the recall
+        # error the feedback loop detected.  The seed set is bounded by
+        # construction (k per round), so this union is a handful of rows.
+        # block_key −1 lives outside both key namespaces (key blocks
+        # [0,2^62), bands [2^62,2^63)); pairs_possible 0 keeps these out of
+        # any block's truncation accounting.
+        seed_rows = pd.DataFrame({
+            "block_key": np.full(len(seeds), -1, np.int64),
+            "id1": np.array([min(a, b) for a, b in seeds], np.int64),
+            "id2": np.array([max(a, b) for a, b in seeds], np.int64),
+            "pairs_possible": np.zeros(len(seeds), np.int64),
+        })
+        pairs = pairs.union(ray.data.from_pandas(seed_rows))
     if dedup and n_sources > 1:
         # optional: scoring is idempotent and connected components are
         # insensitive to duplicate edges, so the default path skips the
@@ -755,7 +773,7 @@ links AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, b.tok AS dst_tok
   FROM r a JOIN r b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3
 )
-SELECT src, count(*) AS n_refs, sum(dst_tok) AS ref_tokens,
+SELECT src, count(*) AS n_refs, CAST(sum(dst_tok) AS BIGINT) AS ref_tokens,
        CAST(sum(dst_tok) AS DOUBLE) / count(*) AS avg_ref_tokens,
        min(dst) AS first_ref
 FROM links GROUP BY src
@@ -1106,17 +1124,35 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 3, k_per_round: int = 100) -> 
         .encode()).hexdigest()[:10]
     work = f"/tmp/erf_feedback_{tag}"
     _os.makedirs(work, exist_ok=True)
-    pages_path = _os.path.join(work, "pages.parquet")
-    gold_path = _os.path.join(work, "gold.parquet")
-    if not (_os.path.exists(pages_path) and _os.path.exists(gold_path)):
-        pages_df = load_pages(sf_dir).to_pandas()
-        gold_assign = _gold_assignments(sf_dir).to_pandas()
-        gold_df = pages_df[["url", "doc_id"]].merge(
-            gold_assign.rename(columns={"node": "doc_id",
-                                        "label": "gold_entity_id"}),
-            on="doc_id")[["url", "gold_entity_id"]]
-        pages_df.drop(columns=["doc_id"]).to_parquet(pages_path, index=False)
-        gold_df.to_parquet(gold_path, index=False)
+    pages_path = _os.path.join(work, "pages_pq")
+    gold_path = _os.path.join(work, "gold_pq")
+    from ..state.checkpoint import is_complete as _ckpt_done
+    from ..state.checkpoint import write_checkpoint as _ckpt_write
+
+    if not (_ckpt_done(pages_path) and _ckpt_done(gold_path)):
+        # all-dataflow cache seeding: pages stream straight to parquet (no
+        # driver to_pandas — the text column is the heavy payload); the gold
+        # table is built by broadcasting the bounded (node,label) assignment
+        # into a map over pages' (url, doc_id) projection.
+        import ray as _ray
+
+        from ..stages.shuffleops import _broadcast_get
+
+        pages = load_pages(sf_dir)
+        gold_assign = _gold_assignments(sf_dir).map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["node"],
+                                     "gold_entity_id": df["label"]}),
+            batch_format="pandas").to_pandas()  # bounded: 2 int cols / doc
+        gref = _ray.put(gold_assign)
+
+        def _mk_gold(df: pd.DataFrame) -> pd.DataFrame:
+            g = _broadcast_get(gref)
+            return df[["url", "doc_id"]].merge(g, on="doc_id")[
+                ["url", "gold_entity_id"]]
+
+        _ckpt_write(pages.map_batches(_mk_gold, batch_format="pandas"),
+                    gold_path)
+        _ckpt_write(pages.drop_columns(["doc_id"]), pages_path)
     history = run_feedback_rounds(
         pages_path, gold_path, _os.path.join(work, "rounds"),
         n_rounds=n_rounds, k_per_round=k_per_round,

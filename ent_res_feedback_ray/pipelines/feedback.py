@@ -122,8 +122,18 @@ def run_feedback_rounds(
     ``gold_path`` parquet: (url, gold_entity_id) — read only for metric
     computation and label revelation, never visible to the pipeline."""
     os.makedirs(out_dir, exist_ok=True)
-    pages = ray.data.read_parquet(pages_path)
-    gold_urls = pd.read_parquet(gold_path)
+    # inputs may be single parquet files OR checkpoint directories (written
+    # by write_checkpoint, which adds a _SUCCESS marker the readers must skip)
+    pages = ray.data.read_parquet(pages_path, file_extensions=["parquet"])
+    if os.path.isdir(gold_path):
+        import glob as _glob
+
+        gold_urls = pd.concat(
+            [pd.read_parquet(p) for p in sorted(
+                _glob.glob(os.path.join(gold_path, "*.parquet")))],
+            ignore_index=True)
+    else:
+        gold_urls = pd.read_parquet(gold_path)
 
     resolve_kwargs = dict(resolve_kwargs or {})
 
@@ -183,8 +193,9 @@ def run_feedback_rounds(
 
             vp = scored.map_batches(_val_pairs, batch_format="pandas")
             # bound the driver pull (tuner input) deterministically
-            if vp.count() > 100_000:
-                vp = pair_sample_stage(vp, 100_000 / vp.count(), seed=seed)
+            n_vp = vp.count()
+            if n_vp > 100_000:
+                vp = pair_sample_stage(vp, 100_000 / n_vp, seed=seed)
             vp_pd = vp.to_pandas()
             gold_val = gold[gold["doc_id"].isin(val_set)].rename(
                 columns={"doc_id": "id", "gold_entity_id": "gold"})

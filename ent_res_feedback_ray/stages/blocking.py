@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import band_keys, fnv1a64, minhash_params, minhash_signature
+from ..functions.hashing import (band_keys_matrix, fnv1a64, minhash_params,
+                                 minhash_signature)
 from ..functions.textnorm import word_ngrams
 
 BLOCK_KEY_SQL = (
@@ -134,17 +135,11 @@ def band_explode_stage(ds: ray.data.Dataset, num_bands: int = 16,
                 "band_key", pa.array([], pa.int64()))
         num_perm = col.type.list_size
         sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
-        rows = num_perm // num_bands
-        keys = np.empty((n, num_bands), dtype=np.int64)
-        import hashlib as _hl
-
-        for bnd in range(num_bands):
-            band = np.ascontiguousarray(sigs[:, bnd * rows : (bnd + 1) * rows])
-            suffix = bnd.to_bytes(4, "big")
-            for i in range(n):
-                digest = _hl.blake2b(band[i].tobytes() + suffix,
-                                     digest_size=8).digest()
-                keys[i, bnd] = int.from_bytes(digest, "big") >> 1
+        # vectorized band digest (hashing.band_keys_matrix): FNV lane fold +
+        # splitmix64 avalanche, no per-row Python — this stage used to be the
+        # LSH hot path's last interpreter loop (one blake2b call per
+        # (doc, band)).  Keys carry the band-namespace tag bit (bit 62).
+        keys = band_keys_matrix(sigs.astype(np.uint64, copy=False), num_bands)
         take_idx = np.repeat(np.arange(n, dtype=np.int64), num_bands)
         cols = keep_cols or [c for c in batch.column_names if c != "minhash"]
         taken = batch.select(cols).take(pa.array(take_idx, pa.int64()))

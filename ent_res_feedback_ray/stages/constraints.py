@@ -25,19 +25,29 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .features import FTOK_LEN
+
 DISALLOW = 1.0e4
 REQUIRE = 0.0
 
 
 def canonical_alias_set(pairs) -> frozenset:
-    """Canonicalize an alias side-input: unordered token pairs."""
-    return frozenset(tuple(sorted((a, b))) for a, b in (pairs or ()))
+    """Canonicalize an alias side-input: unordered token pairs, truncated to
+    ``FTOK_LEN`` chars.  The truncation is part of the alias-rule contract:
+    the fast featurizer path stores first tokens as fixed-width FTOK_LEN
+    signatures (fastfeatures.py), so the join path truncates identically to
+    keep the two paths bit-identical."""
+    return frozenset(
+        tuple(sorted((str(a)[:FTOK_LEN], str(b)[:FTOK_LEN])))
+        for a, b in (pairs or ()))
 
 
 def first_token_array(norms: np.ndarray) -> np.ndarray:
+    """Leading token of each normalized text, truncated to FTOK_LEN (see
+    ``canonical_alias_set`` for why)."""
     out = np.empty(len(norms), dtype=object)
     for i, s in enumerate(norms):
-        out[i] = s.split(" ", 1)[0] if s else ""
+        out[i] = s.split(" ", 1)[0][:FTOK_LEN] if s else ""
     return out
 
 

@@ -22,8 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import fnv1a64, hamming64_batch, simhash64
-from ..functions.strsim import jaccard
-from ..functions.textnorm import normalize_text_array, word_ngrams
+from ..functions.textnorm import normalize_text_array
 from ..sources.tables import read_table
 from ..stages.blocking import band_explode_stage, minhash_stage
 from ..stages.normalize import normalize_stage
@@ -77,6 +76,25 @@ def _norm_docs(sf_dir: str) -> ray.data.Dataset:
     return normalize_stage(ds)
 
 
+def _jaccard_verify_batch(b: pa.Table, threshold: float) -> pa.Table:
+    """Shared verify kernel for the ngram-oracle and LSH paths: exact
+    word-3-gram Jaccard per candidate pair, fully vectorized (CSR
+    searchsorted intersection — see
+    ``fastfeatures.batch_pair_shingle_jaccard``; at 100 TB the verify stage
+    is the dedup pipeline's dominant compute, so no per-pair Python here)."""
+    from .fastfeatures import batch_pair_shingle_jaccard
+
+    vals = batch_pair_shingle_jaccard(
+        b.column("norm_text1").to_pylist(), b.column("norm_text2").to_pylist())
+    keep = np.nonzero(np.nan_to_num(vals, nan=0.0) >= threshold)[0]
+    sub = b.take(pa.array(keep, pa.int64()))
+    return pa.table({
+        "id1": sub.column("id1"),
+        "id2": sub.column("id2"),
+        "jaccard": pa.array(vals[keep], pa.float64()),
+    })
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """All-pairs word-3-gram Jaccard ≥ threshold → (id1, id2, jaccard).
 
@@ -94,28 +112,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset
         max_pairs_per_block=50_000_000,
     )
 
-    def _jac(b: pa.Table) -> pa.Table:
-        a = b.column("norm_text1").to_pylist()
-        c = b.column("norm_text2").to_pylist()
-        cache: dict[str, frozenset] = {}
-
-        def sh(s: str) -> frozenset:
-            r = cache.get(s)
-            if r is None:
-                r = frozenset(word_ngrams(s.split(), 3)) if s else frozenset()
-                cache[s] = r
-            return r
-
-        vals = np.array([jaccard(sh(x), sh(y)) for x, y in zip(a, c)])
-        keep = np.nonzero(np.nan_to_num(vals, nan=0.0) >= threshold)[0]
-        sub = b.take(pa.array(keep, pa.int64()))
-        return pa.table({
-            "id1": sub.column("id1"),
-            "id2": sub.column("id2"),
-            "jaccard": pa.array(vals[keep], pa.float64()),
-        })
-
-    return pairs.map_batches(_jac, batch_format="pyarrow")
+    return pairs.map_batches(
+        lambda b: _jaccard_verify_batch(b, threshold), batch_format="pyarrow")
 
 
 NGRAM_JACCARD_SQL = """
@@ -175,28 +173,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128,
 
     uniq = dedup_pairs(cand)
 
-    def _verify(b: pa.Table) -> pa.Table:
-        a = b.column("norm_text1").to_pylist()
-        c = b.column("norm_text2").to_pylist()
-        cache: dict[str, frozenset] = {}
-
-        def sh(s: str) -> frozenset:
-            r = cache.get(s)
-            if r is None:
-                r = frozenset(word_ngrams(s.split(), 3)) if s else frozenset()
-                cache[s] = r
-            return r
-
-        vals = np.array([jaccard(sh(x), sh(y)) for x, y in zip(a, c)])
-        keep = np.nonzero(np.nan_to_num(vals, nan=0.0) >= threshold)[0]
-        sub = b.take(pa.array(keep, pa.int64()))
-        return pa.table({
-            "id1": sub.column("id1"),
-            "id2": sub.column("id2"),
-            "jaccard": pa.array(vals[keep], pa.float64()),
-        })
-
-    return uniq.map_batches(_verify, batch_format="pyarrow")
+    return uniq.map_batches(
+        lambda b: _jaccard_verify_batch(b, threshold), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -268,18 +246,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 4) -> ray.data.Dataset:
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+BRUTE_FORCE_DOC_LIMIT = 500_000
+"""Hard cap on the exact-oracle operators' driver pull: beyond this the
+broadcast matrix no longer fits a sane driver heap and the caller must use
+the IVF scale path (``embedding_dup_pairs_ivf``).  The failure is LOUD by
+design — silently degrading an exactness oracle would poison recall pins."""
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     """Embedding near-dup: all-pairs cosine ≥ threshold via blocked numpy
     matmul — each batch multiplies against the (broadcast) full normalized
     matrix, so compute is vectorized and the quadratic term never
     materializes more than (batch × n) floats at once.
 
-    Scale path: replace the broadcast matrix with IVF buckets (see
-    stages/similarity.py) — same verify semantics."""
+    DECLARED SMALL-SCALE ORACLE: the driver pull is bounded by
+    ``BRUTE_FORCE_DOC_LIMIT`` and fails loudly above it; the scale path is
+    ``embedding_dup_pairs_ivf`` (IVF buckets, no driver materialization) —
+    same verify semantics, recall pinned against this oracle by pytest."""
     import ray as _ray
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    mat_df = emb.to_pandas()
+    mat_df = emb.limit(BRUTE_FORCE_DOC_LIMIT + 1).to_pandas()
+    if len(mat_df) > BRUTE_FORCE_DOC_LIMIT:
+        raise ValueError(
+            f"embedding_dup_pairs is the small-scale exact oracle (≤"
+            f"{BRUTE_FORCE_DOC_LIMIT} vectors); use embedding_dup_pairs_ivf "
+            "for large inputs")
     ids = mat_df["vec_id"].to_numpy(np.int64)
     M = np.stack(mat_df["embedding"].to_numpy())
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

@@ -403,6 +403,54 @@ def _jaccard_from_inter(inter: np.ndarray, l1: np.ndarray,
     return np.where((l1 > 0) & (l2 > 0), out, np.nan)
 
 
+def batch_pair_shingle_jaccard(texts1, texts2, n: int = 3) -> np.ndarray:
+    """EXACT word-n-gram set Jaccard for aligned text pairs, vectorized.
+
+    Shingle extraction runs once per UNIQUE text in the batch (dedup verify
+    batches repeat the same hot documents many times); shingle strings are
+    factorized to integer codes with one ``np.unique`` (exact — no hash
+    collisions), per-text slices become a sorted CSR, and the per-pair
+    intersection reuses ``pair_bag_stats``'s searchsorted kernel — zero
+    per-pair Python.  NaN semantics match ``functions.strsim.jaccard``
+    (either side empty → NaN)."""
+    from ..functions.textnorm import word_ngrams
+
+    m = len(texts1)
+    if m == 0:
+        return np.empty(0, np.float64)
+    all_txt = np.asarray(
+        [t if t is not None else "" for t in list(texts1) + list(texts2)],
+        dtype=object)
+    uniq, inv = np.unique(all_txt, return_inverse=True)
+    shingles: list[str] = []
+    lens = np.empty(len(uniq), np.int64)
+    for i, s in enumerate(uniq):
+        sh = set(word_ngrams(s.split(), n)) if s else ()
+        lens[i] = len(sh)
+        shingles.extend(sh)
+    if shingles:
+        _, codes = np.unique(np.asarray(shingles, dtype=object),
+                             return_inverse=True)
+        codes = codes.astype(np.int64)
+    else:
+        codes = np.empty(0, np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # sort codes within each text's slice (owner-major key keeps slices
+    # contiguous; pair_bag_stats needs sorted, duplicate-free slices)
+    owner = np.repeat(np.arange(len(uniq), dtype=np.int64), lens)
+    order = np.argsort(owner * (len(codes) + 1) + codes, kind="stable")
+    flat = codes[order]
+    u1, u2 = inv[:m], inv[m:]
+    out = np.empty(m, np.float64)
+    chunk = 1 << 15  # pair_bag_stats 48-bit key-packing bound
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        inter, _ = pair_bag_stats(flat, off, u1[lo:hi], u2[lo:hi])
+        out[lo:hi] = _jaccard_from_inter(inter, lens[u1[lo:hi]],
+                                         lens[u2[lo:hi]])
+    return out
+
+
 def _local_signatures(handle: ShardedSignatures, shards: list,
                       uids: np.ndarray) -> DocSignatures:
     """Gather a BATCH-LOCAL signature table for the (sorted, unique) doc ids

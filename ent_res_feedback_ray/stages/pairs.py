@@ -235,8 +235,16 @@ def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset
         return part.drop_duplicates(subset=["id1", "id2"], keep="first")
 
     def _with_key(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 ROUTING key (mixed, not unique): two distinct pairs sharing a
+        # key merely share a bucket — dedup inside the bucket is exact on
+        # (id1, id2).  ~3× fewer shuffle bytes than the old "id1|id2" string
+        # key, and no per-row string building.
         df = df.copy()
-        df["__pair"] = df["id1"].astype("string") + "|" + df["id2"].astype("string")
+        a = df["id1"].to_numpy(np.int64).astype(np.uint64)
+        b = df["id2"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        df["__pair"] = (k >> np.uint64(1)).astype(np.int64)
         return df
 
     keyed = ds.map_batches(_with_key, batch_format="pandas")

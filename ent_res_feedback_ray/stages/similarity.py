@@ -167,6 +167,20 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+def ann_topk_approx(sf_dir: str) -> ray.data.Dataset:
+    """Both approximate ANN variants in one table, tagged by ``method``
+    ('lsh' = random-hyperplane buckets, 'ivf' = coarse-quantizer partitions)
+    — a single registry entry covering both scale paths (rows-only; recall
+    vs the exact ``ann_topk`` oracle is pinned by
+    tests/test_similarity_scale.py)."""
+    lsh = ann_topk_lsh(sf_dir).map_batches(
+        lambda df: df[["query_id", "neighbor_id", "rank"]].assign(method="lsh"),
+        batch_format="pandas")
+    ivf = ann_topk_ivf(sf_dir).map_batches(
+        lambda df: df.assign(method="ivf"), batch_format="pandas")
+    return lsh.union(ivf)
+
+
 def train_centroids(emb: ray.data.Dataset, k: int = 10, n_iter: int = 10,
                     seed: int = 42) -> np.ndarray:
     """Distributed k-means (IVF coarse quantizer training): init from a
