@@ -101,14 +101,17 @@ def scaled_pages_path(sf_dir: str, factor: int) -> str:
     import pandas as pd
     import pyarrow.parquet as pq
 
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{factor}".encode()).hexdigest()[:12]
-    out = f"/tmp/graft_scale_cache/pages_{tag}.parquet"
-    if os.path.exists(out):
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{factor}|v2".encode()).hexdigest()[:12]
+    # a DIRECTORY of one parquet file per replica: a single big file is read
+    # by ONE Ray task (serial ~3-9 s that no core count shrinks); a multi-
+    # file layout parallelizes the read — exactly how a real corpus shards
+    out = f"/tmp/graft_scale_cache/pages_{tag}_pq"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
         return out
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     df = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                        columns=["doc_id", "text", "lang", "source"]).to_pandas()
-    frames = []
     for r in range(factor):
         rep = df.copy()
         rep["doc_id"] = rep["doc_id"] * factor + r
@@ -120,8 +123,10 @@ def scaled_pages_path(sf_dir: str, factor: int) -> str:
                 lambda t, rr=r: " ".join(w + f"r{rr}" for w in t.split()))
         rep["url"] = ("https://" + rep["source"] + ".example.com/doc/"
                       + rep["doc_id"].astype(str))
-        frames.append(rep[["doc_id", "url", "text", "lang"]])
-    pd.concat(frames, ignore_index=True).to_parquet(out, index=False)
+        rep[["doc_id", "url", "text", "lang"]].to_parquet(
+            os.path.join(out, f"part-{r:04d}.parquet"), index=False)
+    with open(done, "w") as f:
+        f.write("ok")
     return out
 
 
@@ -137,16 +142,23 @@ def run_er_scaled(sf_dir: str, num_cpus: int, factor: int) -> dict:
     # writes during the measured run would otherwise be a fixed serial cost
     # that no amount of cores can shrink.  A long-running production cluster
     # pays this once at startup — so the benchmark does too (untimed).
+    # 4 GiB, NOT 8: preallocation faults the whole store at startup, and on
+    # this host 8 GiB prefault takes ~50 s — racing the raylet startup
+    # timeout (observed flaky init).  4 GiB prefaults in ~6 s and the scaled
+    # workload's live set fits with room to spill.
     os.environ.setdefault("RAY_preallocate_plasma_memory", "1")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
-             object_store_memory=8 << 30)
+             object_store_memory=4 << 30)
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ent_res_feedback_ray.pipelines.er import resolve_pages
 
     import pyarrow.parquet as pq
-    n_docs = pq.read_metadata(path).num_rows
+    import pyarrow.dataset as pads
+    n_docs = sum(f.count_rows() for f in
+                 pads.dataset(path, format="parquet",
+                              exclude_invalid_files=True).get_fragments())
     # right-sized read parallelism: blocks ~ 2×CPUs — Ray's default splits a
     # single parquet file into hundreds of micro-blocks whose per-task
     # scheduling overhead is serialized and does NOT shrink with more cores
@@ -155,12 +167,19 @@ def run_er_scaled(sf_dir: str, num_cpus: int, factor: int) -> dict:
     # full pipeline once over a small slice so every worker's arena and the
     # kernel code paths are faulted in — the measurement is steady-state
     # throughput, not process cold-start
-    warm = ray.data.read_parquet(path, override_num_blocks=blocks).limit(8192)
-    resolve_pages(warm.materialize().repartition(num_cpus).materialize(),
+    # warm slice sized so EVERY worker runs real-sized batches (32 workers ×
+    # several tasks): per-process arenas, scratch buffers and import state
+    # all fault untimed — at 8k docs only a handful of workers participated
+    # and the rest paid first-touch inside the measured window
+    warm = ray.data.read_parquet(path, override_num_blocks=blocks,
+                                 file_extensions=["parquet"]).limit(
+        min(65_536, n_docs))
+    resolve_pages(warm.materialize().repartition(2 * num_cpus).materialize(),
                   use_key_blocks=True, use_lsh=True,
                   max_pairs_per_block=20_000, num_perm=64, num_bands=16,
                   keep_features=False)["assignments"].materialize()
-    pages = ray.data.read_parquet(path, override_num_blocks=blocks)
+    pages = ray.data.read_parquet(path, override_num_blocks=blocks,
+                                  file_extensions=["parquet"])
     t0 = time.perf_counter()
     result = resolve_pages(pages, use_key_blocks=True, use_lsh=True,
                            max_pairs_per_block=20_000, num_perm=64,

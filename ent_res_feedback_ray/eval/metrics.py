@@ -190,3 +190,89 @@ def facet_metrics_dataset(pred_ds: ray.data.Dataset,
                      "b3_recall": round(m["b3_recall"], 6),
                      "b3_f1": round(m["b3_f1"], 6)})
     return pd.DataFrame(rows)
+
+
+def min_pair_edit(claims: pd.DataFrame,
+                  assign: dict[int, int] | pd.DataFrame) -> tuple[float, int, int]:
+    """Greedy minimum cluster-edit repair of a claims set (reference
+    ``min_pair_edit``, /root/reference/s2and/eval.py:1063-1160): how many
+    single-record cluster moves fix every wrong claim pair?
+
+    ``claims``: (id1, id2, gold_same: bool) — the bounded claims table.
+    ``assign``: record → predicted cluster (dict or (doc_id, cluster) frame).
+
+    Re-expression notes (from-scratch, deterministic where the reference
+    iterates an unordered set):
+    - offenders are visited by (wrong-pair count desc, id asc);
+    - candidate flips are the offender's PARTNER clusters plus one fresh
+      singleton cluster — any other cluster changes no claim pair, so the
+      objective (−fp−fn, as in the reference) is identical to the singleton
+      flip; this prunes the reference's all-clusters scan without changing
+      any achievable objective value;
+    - ties pick the smallest cluster label (singleton last).
+
+    Returns (min_edit_score, min_edit_count, n_mistaken_ids) — score is
+    steps normalized by max(n_mistaken_ids − 1, 1).  Driver-side by design:
+    the claims table is bounded (sampled) and the repair is sequential.
+    """
+    if isinstance(assign, pd.DataFrame):
+        cols = list(assign.columns)
+        assign = dict(zip(assign[cols[0]].astype(int),
+                          assign[cols[1]].astype(int)))
+    else:
+        assign = {int(k): int(v) for k, v in assign.items()}
+    id1 = claims["id1"].astype(int).to_numpy()
+    id2 = claims["id2"].astype(int).to_numpy()
+    gold = claims["gold_same"].astype(bool).to_numpy()
+    pairs = list(zip(id1.tolist(), id2.tolist(), gold.tolist()))
+
+    def wrong_pairs():
+        return [(a, b, g) for a, b, g in pairs
+                if (assign[a] == assign[b]) != g]
+
+    wrong = wrong_pairs()
+    if not wrong:
+        return 0.0, 0, 0
+
+    def objective() -> int:
+        bad = 0
+        for a, b, g in pairs:
+            if (assign[a] == assign[b]) != g:
+                bad -= 1
+        return bad
+
+    # fresh labels for singleton flips: beyond every existing label
+    next_fresh = max(assign.values(), default=0) + 1
+
+    counts: dict[int, int] = {}
+    for a, b, _ in wrong:
+        counts[a] = counts.get(a, 0) + 1
+        counts[b] = counts.get(b, 0) + 1
+    worst_ids = sorted(counts, key=lambda i: (-counts[i], i))
+    partners: dict[int, set] = {}
+    for a, b, _ in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+
+    steps = 0
+    for wid in worst_ids:
+        original = assign[wid]
+        best = objective()
+        cand = sorted({assign[p] for p in partners.get(wid, ())}
+                      - {original})
+        best_to = None
+        for to in cand + [next_fresh]:
+            assign[wid] = to
+            cur = objective()
+            if cur > best:
+                best = cur
+                best_to = to
+        assign[wid] = best_to if best_to is not None else original
+        if best_to is not None:
+            steps += 1
+            if best_to == next_fresh:
+                next_fresh += 1
+            if not wrong_pairs():
+                break
+    n_mistaken = len(worst_ids)
+    return steps / max(n_mistaken - 1, 1), steps, n_mistaken

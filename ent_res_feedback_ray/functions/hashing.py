@@ -25,28 +25,42 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def fnv1a64(strings: "list[str] | np.ndarray") -> np.ndarray:
+def fnv1a64(strings) -> np.ndarray:
     """Vectorized FNV-1a 64-bit over UTF-8 bytes; returns uint64 array.
 
-    Columnar: iterates over byte positions (max string length), not rows.
-    """
+    Accepts a Python list, numpy object array, or pyarrow StringArray.
+    Columnar: Arrow provides the concatenated UTF-8 buffer + offsets in C
+    (no per-string Python encode/frombuffer), then one masked gather per
+    byte position — maxlen passes over [n] arrays, zero per-row Python and
+    no padded byte matrix (the old [n, maxlen] temporary was allocator
+    churn on the hot path)."""
+    import pyarrow as _pa
+
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    encoded = [s.encode("utf-8") for s in strings]
-    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    # pad into a byte matrix [n, maxlen]
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, b in enumerate(encoded):
-        if b:
-            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    if isinstance(strings, (_pa.Array, _pa.ChunkedArray)):
+        arr = (strings.combine_chunks()
+               if isinstance(strings, _pa.ChunkedArray) else strings)
+        arr = arr.cast(_pa.large_string())
+    else:
+        arr = _pa.array(strings, type=_pa.large_string())
+    if arr.offset:
+        # normalize slices so buffer offsets index from zero
+        arr = _pa.concat_arrays([arr])
+    off = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1)
+    total = int(off[-1])
+    data = (np.frombuffer(arr.buffers()[2], np.uint8, count=total)
+            if total else np.empty(0, np.uint8))
+    lens = np.diff(off)
+    maxlen = int(lens.max())
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    base = off[:-1]
     with np.errstate(over="ignore"):
         for j in range(maxlen):
             active = lens > j
             hj = h[active]
-            hj ^= buf[active, j].astype(np.uint64)
+            hj ^= data[base[active] + j].astype(np.uint64)
             hj *= _FNV_PRIME
             h[active] = hj
     return h

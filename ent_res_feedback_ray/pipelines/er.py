@@ -29,6 +29,7 @@ from ..stages.features import (
     JW_FIRST_SQL,
     LANG_MATCH_SQL,
     LEN_RATIO_SQL,
+    LEV_PREFIX,
     LEV_SIM_SQL,
     PREFIX_SIM_SQL,
     SCORE_SQL,
@@ -81,10 +82,39 @@ def candidate_pairs_compact(sf_dir: str) -> ray.data.Dataset:
     return candidate_pairs(sf_dir).map_batches(_proj, batch_format="pyarrow")
 
 
+def token_df_dict(sf_dir: str) -> dict:
+    """Corpus token document-frequency table as a bounded driver dict
+    (tokens with DF ≥ 2 only — lossless for the shared-token pair features,
+    since a shared token is by definition in ≥ 2 docs).  Built with one
+    distributed partial-count + bucketed aggregate; broadcast via ray.put."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    norm = pages_normalized(sf_dir).select_columns(["doc_id", "norm_text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks, docs = [], []
+        for i, s in enumerate(df["norm_text"]):
+            if s:
+                for t in set(s.split()):
+                    toks.append(t)
+                    docs.append(i)
+        part = pd.DataFrame({"tok": toks})
+        return part.groupby("tok", as_index=False).agg(c=("tok", "size"))
+
+    df = bucketed_aggregate(
+        norm.map_batches(_partial, batch_format="pandas"), "tok",
+        c=("c", "sum")).to_pandas()
+    df = df[df["c"] >= 2]
+    return dict(zip(df["tok"], df["c"].astype(int)))
+
+
 def pair_features(sf_dir: str) -> ray.data.Dataset:
+    import ray as _ray
+
     from ..stages.features import FEATURE_COLS
 
-    feats = featurize_stage(candidate_pairs(sf_dir))
+    tdf_ref = _ray.put(token_df_dict(sf_dir))
+    feats = featurize_stage(candidate_pairs(sf_dir), token_df_ref=tdf_ref)
 
     def _proj(b: pa.Table) -> pa.Table:
         return b.select(["block_key", "id1", "id2", *FEATURE_COLS])
@@ -260,9 +290,33 @@ feat AS (
     {JW_FIRST_SQL.format(n1="n1", n2="n2")} AS jw_first,
     {CHAR3_JACCARD_SQL.format(c1="c1", c2="c2")} AS char3_jaccard,
     {TOKEN_CJACCARD_SQL.format(n1="n1", n2="n2", t1="tk1", t2="tk2", inter="cj_inter")} AS token_cjaccard,
-    {PREFIX_SIM_SQL.format(n1="n1", n2="n2", p1="left(n1, 40)", p2="left(n2, 40)")} AS prefix_sim,
+    {PREFIX_SIM_SQL.format(n1="n1", n2="n2", p1=f"left(n1, {LEV_PREFIX})", p2=f"left(n2, {LEV_PREFIX})")} AS prefix_sim,
     {TS_DIFF_SQL.format(t1="ts1", t2="ts2")} AS ts_diff_days
   FROM bagged
+)
+""".strip()
+
+# corpus token-DF pair features (reference name_counts analog; see
+# stages/features.FEATURE_GROUPS): DF table over the same norm CTE, shared
+# tokens per pair via list_intersect, min/max DF joined back onto feat
+_DF_CTES = """
+tokdf AS (
+  SELECT tok, count(DISTINCT doc_id) AS c
+  FROM (SELECT doc_id,
+               unnest(list_distinct(string_split(norm_text, ' '))) AS tok
+        FROM norm WHERE norm_text <> '')
+  GROUP BY tok
+),
+shared AS (
+  SELECT id1, id2,
+         unnest(list_intersect(list_distinct(string_split(n1, ' ')),
+                               list_distinct(string_split(n2, ' ')))) AS tok
+  FROM bagged WHERE n1 <> '' AND n2 <> ''
+),
+dfagg AS (
+  SELECT id1, id2, CAST(min(c) AS DOUBLE) AS df_min_shared,
+         CAST(max(c) AS DOUBLE) AS df_max_shared
+  FROM shared JOIN tokdf USING (tok) GROUP BY id1, id2
 )
 """.strip()
 
@@ -326,10 +380,14 @@ def oracle_queries() -> dict[str, str]:
                        "SELECT doc_id, block_key FROM blocks",
         "er_candidate_pairs": f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
                               "SELECT block_key, id1, id2 FROM cand",
-        "er_features": f"{base} SELECT block_key, id1, id2, token_jaccard, "
-                       "shingle_jaccard, lev_sim, len_ratio, lang_match, "
-                       "jw_first, char3_jaccard, token_cjaccard, prefix_sim, "
-                       "ts_diff_days FROM feat",
+        "er_features": f"{base},\n{_DF_CTES} "
+                       "SELECT feat.block_key, feat.id1, feat.id2, "
+                       "token_jaccard, shingle_jaccard, lev_sim, len_ratio, "
+                       "lang_match, jw_first, char3_jaccard, token_cjaccard, "
+                       "prefix_sim, ts_diff_days, "
+                       "dfagg.df_min_shared, dfagg.df_max_shared "
+                       "FROM feat LEFT JOIN dfagg "
+                       "ON feat.id1 = dfagg.id1 AND feat.id2 = dfagg.id2",
         "er_scores": f"{base},\n{_SCORE_CTE} SELECT block_key, id1, id2, score FROM scored",
         "er_clusters": f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
                        f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_CLUSTER_SQL_TAIL}",
@@ -404,6 +462,19 @@ def resolve_pages(
     from ..stages.pairs import dedup_pairs
     from ..stages.scoring import trained_scoring_stage
 
+    import os as _os
+    import time as _time
+
+    _prof = bool(_os.environ.get("GRAFT_ER_PROFILE"))
+    _t = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t
+        if _prof:
+            now = _time.perf_counter()
+            print(f"ERPROF {label} {now - _t:.2f}", flush=True)
+            _t = now
+
     cols = set(pages_ds.schema().names)
     if "doc_id" not in cols:
         pages_ds = add_doc_ids(pages_ds)
@@ -413,6 +484,7 @@ def resolve_pages(
     if "warc_ts" in cols:
         norm_cols.append("warc_ts")
     norm = norm.select_columns(norm_cols).materialize()
+    _tick("normalize")
     # right-size block count: the featurize stage downstream is CPU-bound, so
     # parallelism must track the cluster (sources read via read_table already
     # produce ~ncpu/2..ncpu blocks; from_pandas fixtures arrive as 1 block)
@@ -425,6 +497,7 @@ def resolve_pages(
         # over-fragmented input: hundreds of micro-blocks serialize on task
         # scheduling (fixed driver-side cost that more cores cannot shrink)
         norm = norm.repartition(2 * ncpu).materialize()
+    _tick("repartition")
 
     id_map = norm.select_columns(["doc_id", "url"])
 
@@ -472,7 +545,11 @@ def resolve_pages(
         block_rows = block_rows.union(extra)
     pairs = pairs_from_blocks(
         block_rows, block_col="block_key", id_col="doc_id", carry_cols=[],
-        max_pairs_per_block=max_pairs_per_block)
+        max_pairs_per_block=max_pairs_per_block,
+        # bucket count tracks the cluster: 32 fixed buckets cap the pair
+        # stage at 32 concurrent tasks and let one heavy bucket straggle;
+        # ~3 tasks per core keeps all cores busy through the skew tail
+        num_buckets=max(32, 3 * ncpu))
     if seeds:
         # Guarantee every constraint seed is scored: a require seed between
         # docs that share no block key or LSH band would otherwise never
@@ -504,6 +581,7 @@ def resolve_pages(
     keep = ["block_key", "id1", "id2", "pairs_possible",
             *(FEATURE_COLS if keep_features else []), "score", "constraint"]
     n_docs = norm.count()
+    _tick("count")
     if n_docs <= broadcast_doc_limit:
         # HOT PATH: featurize against broadcast doc signatures (sorted hash
         # arrays, zero-copy plasma views) — the pair stream stays integer-
@@ -513,6 +591,7 @@ def resolve_pages(
 
         sig = build_doc_signatures(norm)
         sig_ref = _ray.put(sig)
+        _tick("signatures")
         scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds,
                                           alias_pairs=alias_pairs)
         if model is not None:
@@ -520,6 +599,9 @@ def resolve_pages(
                 scored.drop_columns(["score"]), model,
                 concurrency=scorer_concurrency)
         scored = scored.select_columns(keep).materialize()
+        _tick("pairs+featurize+score")
+        if _prof:
+            print(scored.stats(), flush=True)
     else:
         # dimension-scale path: join attributes onto pairs, string featurizer
         from ..stages.shuffleops import attach_attrs
@@ -543,6 +625,9 @@ def resolve_pages(
         lambda df: pd.DataFrame({"node": df["doc_id"]}), batch_format="pandas")
     assignments = transitive_clustering(scored, all_ids=all_ids,
                                         threshold=threshold)
+    if _prof:
+        assignments = assignments.materialize()
+        _tick("transitive_clustering")
 
     # north-rule lineage counters, per block.  pairs_possible is the exact
     # n·(n−1)/2 of the block (constant per block, carried on every pair row);
@@ -858,12 +943,17 @@ FROM jj GROUP BY cluster_id
 def claims_eval(sf_dir: str, claim_rate: float = 0.5, seed: int = 31) -> pd.DataFrame:
     """Claims evaluation analog (reference ``claims_eval``,
     /root/reference/s2and/eval.py:871-1160): a deterministic sample of
-    "claimed" same-entity pairs (drawn from the brute-force gold components)
-    is checked against the predicted clustering — what fraction of claims
-    does the pipeline honor?  Rows-only (gold side is non-SQL).
+    "claimed" pairs is checked against the predicted clustering — positive
+    claims (same entity, drawn from the brute-force gold components) plus
+    negative claims (adjacent docs in id order with DIFFERENT gold labels —
+    a linear, deterministic not-same sample).  Rows-only (gold is non-SQL).
 
-    The claim pairs and both cluster lookups stay in the dataflow; only the
-    one-row summary reaches the driver."""
+    Reports satisfaction plus the reference's greedy ``min_pair_edit``
+    repair metric (eval.py:1063-1160): the minimum number of single-record
+    cluster moves fixing every wrong claim.  The repair runs driver-side
+    over the BOUNDED claims table (sequential by nature); everything else
+    stays in the dataflow."""
+    from ..eval.metrics import min_pair_edit
     from ..stages.sampling import pair_sample_stage
     from ..stages.shuffleops import attach_attrs
 
@@ -874,26 +964,50 @@ def claims_eval(sf_dir: str, claim_rate: float = 0.5, seed: int = 31) -> pd.Data
     claim_pairs = pairs_from_blocks(
         gold_blocks, block_col="gold", id_col="doc_id", carry_cols=[],
         max_pairs_per_block=100_000)
-    claims = pair_sample_stage(claim_pairs, claim_rate, seed=seed)
+    pos = pair_sample_stage(claim_pairs, claim_rate, seed=seed).map_batches(
+        lambda df: df[["id1", "id2"]].assign(gold_same=True),
+        batch_format="pandas")
 
+    # negative claims: sorted-neighborhood window-1 pairs over doc_id with
+    # differing gold — linear work, deterministic, no second shuffle family
+    def _const(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__all="all")
+
+    n_docs = gold.count()
+    adj = pairs_from_blocks(
+        gold_blocks.map_batches(_const, batch_format="pandas"),
+        block_col="__all", id_col="doc_id", carry_cols=["gold"],
+        max_pairs_per_block=max(n_docs, 2))
+    neg = adj.map_batches(
+        lambda df: df.loc[df["gold1"] != df["gold2"], ["id1", "id2"]]
+        .assign(gold_same=False),
+        batch_format="pandas")
+    neg = pair_sample_stage(neg, claim_rate, seed=seed)
+
+    claims = pos.union(neg.select_columns(["id1", "id2", "gold_same"]))
     pred = clusters(sf_dir).map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"],
                                  "pred": df["cluster_id"]}),
         batch_format="pandas")
-    wide = attach_attrs(claims.select_columns(["id1", "id2"]), pred,
-                        id_col="doc_id", attr_cols=["pred"])
+    wide = attach_attrs(claims, pred, id_col="doc_id", attr_cols=["pred"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        sat = (df["pred1"] == df["pred2"]).sum()
-        return pd.DataFrame({"n_claims": [len(df)],
-                             "claims_satisfied": [int(sat)]})
-
-    parts = wide.map_batches(_partial, batch_format="pandas").to_pandas()
-    n = int(parts["n_claims"].sum())
-    sat = int(parts["claims_satisfied"].sum())
+    # bounded pull: the sampled claims table (needed whole for the
+    # sequential greedy repair; satisfaction stats ride along)
+    cl = wide.to_pandas()
+    n = len(cl)
+    same_pred = (cl["pred1"] == cl["pred2"]).to_numpy()
+    sat = int((same_pred == cl["gold_same"].to_numpy()).sum())
+    assign = dict(zip(
+        pd.concat([cl["id1"], cl["id2"]]).astype(int),
+        pd.concat([cl["pred1"], cl["pred2"]]).astype(int)))
+    score, steps, n_mistaken = min_pair_edit(
+        cl[["id1", "id2", "gold_same"]], assign)
     return pd.DataFrame({
         "n_claims": [n], "claims_satisfied": [sat],
         "claim_rate": [round(sat / n, 6) if n else float("nan")],
+        "min_edit_score": [round(float(score), 6)],
+        "min_edit_count": [int(steps)],
+        "n_mistaken_ids": [int(n_mistaken)],
     })
 
 

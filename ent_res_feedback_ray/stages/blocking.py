@@ -62,11 +62,21 @@ def _cached_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return minhash_params(num_perm, seed)
 
 
+_MH_SCRATCH: dict[int, np.ndarray] = {}
+_MH_MAX_CELLS = 4_000_000
+
+
 def minhash_batch(norms: list[str], num_perm: int, shingle_n: int,
                   seed: int) -> np.ndarray:
     """Vectorized per-batch minhash: hash ALL docs' shingles in one columnar
     pass, then segment-min via ``np.minimum.reduceat`` — no per-doc Python
-    beyond shingle extraction."""
+    beyond shingle extraction.
+
+    The [chunk, num_perm] permutation temporary writes into a PER-PROCESS
+    scratch buffer (grow-only): fresh 32 MB numpy temporaries get mmap'd and
+    munmap'd by glibc each call, and on virtualized hosts the resulting
+    first-touch page faults cost ~50× the multiply-add itself — reuse keeps
+    the stage at steady-state memory with zero allocator churn."""
     a, b = _cached_params(num_perm, seed)
     n = len(norms)
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -83,18 +93,26 @@ def minhash_batch(norms: list[str], num_perm: int, shingle_n: int,
     if not all_shingles:
         return sigs
     h = fnv1a64(all_shingles)
-    # chunk over docs to bound the [n_shingles, num_perm] temporary
-    max_cells = 4_000_000
+    scratch = _MH_SCRATCH.get(num_perm)
+    if scratch is None or scratch.shape[0] * num_perm < _MH_MAX_CELLS:
+        scratch = np.empty((_MH_MAX_CELLS // num_perm, num_perm), np.uint64)
+        _MH_SCRATCH[num_perm] = scratch
+    max_rows = scratch.shape[0]
     starts = np.array(offsets + [len(all_shingles)], dtype=np.int64)
     d = 0
     while d < len(doc_idx):
         e = d
-        while e < len(doc_idx) and (starts[e + 1] - starts[d]) * num_perm <= max_cells:
+        while e < len(doc_idx) and starts[e + 1] - starts[d] <= max_rows:
             e += 1
         e = max(e, d + 1)
         lo, hi = starts[d], starts[e]
+        # a single doc larger than the scratch window falls back to a fresh
+        # temporary (same as pre-scratch behavior; pathological docs only)
+        vals = (scratch[: hi - lo] if hi - lo <= max_rows
+                else np.empty((hi - lo, num_perm), np.uint64))
         with np.errstate(over="ignore"):
-            vals = h[lo:hi, None] * a[None, :] + b[None, :]
+            np.multiply(h[lo:hi, None], a[None, :], out=vals)
+            np.add(vals, b[None, :], out=vals)
         seg = starts[d:e] - lo
         mins = np.minimum.reduceat(vals, seg, axis=0)
         sigs[doc_idx[d:e]] = mins

@@ -265,15 +265,19 @@ def _assemble_shard(tbl: pa.Table, have_ts: bool) -> DocSignatures:
 
 
 @ray.remote(num_returns=2)
-def _sig_shard_task(tbl: pa.Table, id_col: str, norm_col: str,
-                    lang_col: str, ts_col: str, have_ts: bool):
-    """One norm block → one assembled shard, FUSED in a single task: the
-    intermediate signature table never hits the object store (halves the
-    plasma write volume — which is a SERIAL cost on fault-throttled hosts)."""
+def _sig_shard_task(id_col: str, norm_col: str,
+                    lang_col: str, ts_col: str, have_ts: bool, *tbls):
+    """A GROUP of norm blocks → one assembled shard, FUSED in a single task:
+    the intermediate signature table never hits the object store (halves the
+    plasma write volume — a SERIAL cost on fault-throttled hosts).  Groups
+    keep the shard count ~ CPU count: batch-local gathers downstream
+    (``_local_signatures``) pay a fixed cost per shard RUN, so hundreds of
+    micro-shards tax every featurize batch."""
     chunks = []
-    for lo in range(0, tbl.num_rows, 8192):
-        chunks.append(_sig_batch(tbl.slice(lo, 8192), id_col, norm_col,
-                                 lang_col, ts_col, have_ts))
+    for tbl in tbls:
+        for lo in range(0, tbl.num_rows, 8192):
+            chunks.append(_sig_batch(tbl.slice(lo, 8192), id_col, norm_col,
+                                     lang_col, ts_col, have_ts))
     sig = _assemble_shard(pa.concat_tables(chunks), have_ts)
     return sig.ids, sig
 
@@ -281,7 +285,8 @@ def _sig_shard_task(tbl: pa.Table, id_col: str, norm_col: str,
 def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
                          norm_col: str = "norm_text",
                          lang_col: str = "lang",
-                         ts_col: str = "warc_ts") -> ShardedSignatures:
+                         ts_col: str = "warc_ts",
+                         max_shards: int | None = None) -> ShardedSignatures:
     """Distributed signature build: map_batches sketching → distributed sort
     by doc id → ONE assembly task per sorted block.  The driver touches only
     shard boundaries and ObjectRefs; every heavy array faults inside a
@@ -303,10 +308,17 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
     # routing index instead of ranges
     block_refs = norm_ds.to_arrow_refs()
     s = _tick("refs", s)
+    # shard count tracks the cluster, not the input block count: each shard
+    # builds in its own task (parallelism = n_shards ≈ CPUs), while the
+    # featurize stage's per-batch gather pays per shard RUN — 128 input
+    # micro-blocks as 128 shards made every batch 4× more expensive than 32
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    n_shards = max(1, min(len(block_refs), max_shards or ncpu))
+    groups = [block_refs[i::n_shards] for i in range(n_shards)]
     id_refs, sig_refs = [], []
-    for b in block_refs:
+    for grp in groups:
         ids_ref, sref = _sig_shard_task.remote(
-            b, id_col, norm_col, lang_col, ts_col, have_ts)
+            id_col, norm_col, lang_col, ts_col, have_ts, *grp)
         id_refs.append(ids_ref)
         sig_refs.append(sref)
     id_lists = ray.get(id_refs)
@@ -356,7 +368,8 @@ def _rle_sorted(k: np.ndarray):
 
 
 def pair_bag_stats(flat: np.ndarray, off: np.ndarray,
-                   u1: np.ndarray, u2: np.ndarray, bag: bool = False):
+                   u1: np.ndarray, u2: np.ndarray, bag: bool = False,
+                   return_matched: bool = False):
     """Per pair k: |set(A)∩set(B)| (and the multiset intersection when
     ``bag``) over the CSR slices of docs u1[k], u2[k].
 
@@ -386,6 +399,11 @@ def pair_bag_stats(flat: np.ndarray, off: np.ndarray,
     match = uk2[pos_c] == uk1
     mp = uk1[match] // _VAL_SPACE
     set_inter = np.bincount(mp, minlength=m).astype(np.int64)
+    if return_matched:
+        # (pair index, intersected value) per matched SET element — feeds
+        # value-dependent pair aggregates (e.g. corpus-DF min/max over
+        # shared tokens)
+        return set_inter, (mp, uk1[match] - mp * _VAL_SPACE)
     if not bag:
         return set_inter, set_inter
     bag_inter = np.bincount(
@@ -449,6 +467,68 @@ def batch_pair_shingle_jaccard(texts1, texts2, n: int = 3) -> np.ndarray:
         out[lo:hi] = _jaccard_from_inter(inter, lens[u1[lo:hi]],
                                          lens[u2[lo:hi]])
     return out
+
+
+_MERGED_CACHE: dict = {}
+_MERGED_LIMIT_BYTES = 256 << 20
+"""Per-worker cap on the merged-signature private copy.  Below the cap a
+worker concatenates all plasma shards ONCE and every featurize batch indexes
+the merged table directly (no per-batch gather — the gather was ~40% of
+featurize CPU and pure allocator churn).  Above it, batches fall back to the
+batch-local gather (bounded memory, zero-copy plasma views)."""
+
+
+def _merged_signatures(handle: ShardedSignatures, shards: list):
+    """(merged DocSignatures with GLOBAL rows, rowmap aligned to
+    handle.route_ids) — cached per worker process, one entry at a time.
+    Returns None when the table exceeds ``_MERGED_LIMIT_BYTES``."""
+    key = ((handle.refs[0].hex(), len(handle.refs))
+           if handle.refs else ("empty", 0))
+    if key in _MERGED_CACHE:
+        return _MERGED_CACHE[key]
+    nbytes = sum(sd.tok_flat.nbytes + sd.shg_flat.nbytes + sd.ch3_flat.nbytes
+                 + sd.prefix.nbytes + sd.ftok.nbytes + sd.ids.nbytes * 6
+                 for sd in shards)
+    if nbytes > _MERGED_LIMIT_BYTES:
+        _MERGED_CACHE.clear()
+        _MERGED_CACHE[key] = None
+        return None
+    base_rows = np.cumsum([0] + [len(sd.ids) for sd in shards])[:-1]
+    rowmap = base_rows[handle.route_shard] + handle.route_local
+
+    def cat(name):
+        return np.concatenate([getattr(sd, name) for sd in shards])
+
+    def cat_csr(fname, oname):
+        flats = [getattr(sd, fname) for sd in shards]
+        offs = [getattr(sd, oname) for sd in shards]
+        bases = np.cumsum([0] + [len(f) for f in flats])
+        flat = (np.concatenate(flats) if flats else np.empty(0, np.int64))
+        off = np.concatenate(
+            [np.zeros(1, np.int64)]
+            + [o[1:] + b for o, b in zip(offs, bases[:-1])]).astype(np.int64)
+        return flat, off
+
+    tok_flat, tok_off = cat_csr("tok_flat", "tok_off")
+    shg_flat, shg_off = cat_csr("shg_flat", "shg_off")
+    ch3_flat, ch3_off = cat_csr("ch3_flat", "ch3_off")
+    sig = DocSignatures(
+        ids=cat("ids"),
+        tok_flat=tok_flat, tok_off=tok_off, tok_nset=cat("tok_nset"),
+        shg_flat=shg_flat, shg_off=shg_off,
+        ch3_flat=ch3_flat, ch3_off=ch3_off,
+        prefix=cat("prefix"),
+        prefix_len=cat("prefix_len"),
+        ftok=cat("ftok"),
+        ftok_len=cat("ftok_len"),
+        text_len=cat("text_len"),
+        lang_code=cat("lang_code"),
+        text_md5=cat("text_md5"),
+        ts_us=cat("ts_us") if handle.have_ts else None,
+    )
+    _MERGED_CACHE.clear()
+    _MERGED_CACHE[key] = (sig, rowmap)
+    return _MERGED_CACHE[key]
 
 
 def _local_signatures(handle: ShardedSignatures, shards: list,
@@ -515,10 +595,13 @@ def featurize_and_score_fast(
     lang_rule: bool = True,
     exact_text_rule: bool = True,
     alias_pairs=None,
+    # ObjectRef of (sorted int64 token-hash keys, int64 doc-frequency
+    # counts) for the corpus-DF pair features; None → NaN columns
+    token_df_ref=None,
     # 4096 pairs/batch balances per-batch fixed work (shard-local gathers)
     # against per-worker arena footprint (~20 MB, faulted once per worker —
     # callers that care warm the pool first; see bench.run_er_scaled).
-    batch_size: int = 4096,
+    batch_size: int = 16384,
 ) -> ray.data.Dataset:
     """pairs (block_key, id1, id2, …) → + FEATURE_COLS + score + constraint.
 
@@ -551,18 +634,29 @@ def featurize_and_score_fast(
         id1 = batch.column("id1").to_numpy(zero_copy_only=False)
         id2 = batch.column("id2").to_numpy(zero_copy_only=False)
 
-        # batch-local doc table for the unique docs of this batch (rows in
-        # shard-major order; ``inv`` maps sorted-uid index → local row)
-        uids = np.unique(np.concatenate([id1, id2]))
-        sig, inv_row = _local_signatures(handle, shards, uids)
-        li1 = inv_row[np.searchsorted(uids, id1)]
-        li2 = inv_row[np.searchsorted(uids, id2)]
+        merged = _merged_signatures(handle, shards)
+        if merged is not None:
+            # fast path: ONE per-worker merged table; batches index global
+            # rows directly — no per-batch signature gather at all
+            sig, rowmap = merged
+            nrows = len(sig.ids)
+            li1 = rowmap[np.searchsorted(handle.route_ids, id1)]
+            li2 = rowmap[np.searchsorted(handle.route_ids, id2)]
+        else:
+            # big-table path: batch-local doc table for this batch's unique
+            # docs (rows in shard-major order; ``inv_row`` maps sorted-uid
+            # index → local row) — bounded memory, zero-copy plasma views
+            uids = np.unique(np.concatenate([id1, id2]))
+            sig, inv_row = _local_signatures(handle, shards, uids)
+            nrows = len(uids)
+            li1 = inv_row[np.searchsorted(uids, id1)]
+            li2 = inv_row[np.searchsorted(uids, id2)]
 
         # unique doc-pairs within the batch (blocks repeat docs heavily)
-        key = li1.astype(np.int64) * len(uids) + li2
+        key = li1.astype(np.int64) * max(nrows, 1) + li2
         uniq, inv = np.unique(key, return_inverse=True)
-        u1 = (uniq // len(uids)).astype(np.int64)
-        u2 = (uniq % len(uids)).astype(np.int64)
+        u1 = (uniq // max(nrows, 1)).astype(np.int64)
+        u2 = (uniq % max(nrows, 1)).astype(np.int64)
 
         tok_sizes = np.diff(sig.tok_off)  # bag sizes (with dups)
         shg_sizes = np.diff(sig.shg_off)
@@ -609,8 +703,40 @@ def featurize_and_score_fast(
         else:
             td_u = np.full(len(u1), np.nan)
 
+        # corpus-DF features: min/max document frequency over the SHARED
+        # tokens (reference name_counts analog — see features.FEATURE_GROUPS)
+        tdf = (_broadcast_get(token_df_ref)
+               if token_df_ref is not None else None)
+        if tdf is None:
+            dmn_u = np.full(len(u1), np.nan)
+            dmx_u = dmn_u
+        else:
+            df_keys, df_counts = tdf
+            m_u = len(u1)
+            # matched (pair, value) stream over the token bag — dup slices
+            # repeat a value within a pair, which min/max ignores
+            _, (mpair, mvals) = pair_bag_stats(
+                sig.tok_flat, sig.tok_off, u1, u2, return_matched=True)
+            pos = np.searchsorted(df_keys, mvals)
+            pos_c = np.minimum(pos, max(len(df_keys) - 1, 0))
+            found = (df_keys[pos_c] == mvals) if len(df_keys) else \
+                np.zeros(len(mvals), bool)
+            # a shared token always has corpus DF ≥ 2; a miss means the DF
+            # table was truncated — default 1 marks "rarer than the table"
+            dfv = np.where(found, df_counts[pos_c] if len(df_keys) else 1,
+                           1).astype(np.float64)
+            lo = np.full(m_u, np.inf)
+            hi = np.full(m_u, -np.inf)
+            np.minimum.at(lo, mpair, dfv)
+            np.maximum.at(hi, mpair, dfv)
+            has = np.zeros(m_u, bool)
+            has[mpair] = True
+            dmn_u = np.where(has, lo, np.nan)
+            dmx_u = np.where(has, hi, np.nan)
+
         tj, sj, lv, lr, lm = tj_u[inv], sj_u[inv], lv_u[inv], lr_u[inv], lm_u[inv]
         jw, c3, cj, ps, td = jw_u[inv], c3_u[inv], cj_u[inv], ps_u[inv], td_u[inv]
+        dmn, dmx = dmn_u[inv], dmx_u[inv]
         # linear score — same association order as SCORE_SQL
         z = ((0.55 * np.nan_to_num(sj) + 0.25 * np.nan_to_num(tj))
              + 0.15 * np.nan_to_num(lv)) + 0.05 * np.nan_to_num(lr)
@@ -656,6 +782,8 @@ def featurize_and_score_fast(
             .append_column("token_cjaccard", col(cj))
             .append_column("prefix_sim", col(ps))
             .append_column("ts_diff_days", col(td))
+            .append_column("df_min_shared", col(dmn))
+            .append_column("df_max_shared", col(dmx))
             .append_column("score", pa.array(score, pa.float64()))
             .append_column("constraint", col(cons))
         )

@@ -21,7 +21,10 @@ import ray.data
 from ..functions.strsim import jaccard, levenshtein
 from ..functions.textnorm import word_ngrams
 
-LEV_PREFIX = 40   # bound the DP cost per pair; SQL uses left(norm, 40) too
+LEV_PREFIX = 24   # bounds the bit-parallel DP per pair (cost ~ LEV_PREFIX^2;
+                  # 40 -> 24 cut the Myers kernel ~2.8x at equal oracle
+                  # parity); every SQL twin derives its left(norm, N) from
+                  # this constant
 CHAR3_PREFIX = 100  # char-3-gram bags over left(norm, 100)
 FTOK_LEN = 16     # jaro-winkler over the (short) leading token, capped
 CJ_CLAMP = 5000   # counter_jaccard denominator clamp (reference featurizer)
@@ -43,6 +46,14 @@ FEATURE_GROUPS: dict[str, str] = {
     "token_cjaccard": "tokens",
     "prefix_sim": "chars",
     "ts_diff_days": "time",
+    # corpus-frequency pair features (reference ``name_counts``,
+    # /root/reference/s2and/text.py:679-721: min/max corpus counts of shared
+    # name parts as features): min/max DOCUMENT FREQUENCY over the tokens the
+    # two sides share.  Computed only when a corpus DF table is broadcast
+    # (token_df); NaN otherwise.  A shared token always has DF ≥ 2, so DF
+    # tables may drop singletons losslessly.
+    "df_min_shared": "corpus",
+    "df_max_shared": "corpus",
 }
 
 FEATURE_COLS = list(FEATURE_GROUPS)
@@ -80,8 +91,8 @@ SHINGLE_JACCARD_SQL = (
 )
 LEV_SIM_SQL = (
     "CASE WHEN {n1} = '' OR {n2} = '' THEN NULL ELSE "
-    "1.0 - CAST(levenshtein(left({n1}, 40), left({n2}, 40)) AS DOUBLE) / "
-    "greatest(len(left({n1}, 40)), len(left({n2}, 40))) END"
+    f"1.0 - CAST(levenshtein(left({{n1}}, {LEV_PREFIX}), left({{n2}}, {LEV_PREFIX})) AS DOUBLE) / "
+    f"greatest(len(left({{n1}}, {LEV_PREFIX})), len(left({{n2}}, {LEV_PREFIX}))) END"
 )
 LEN_RATIO_SQL = (
     "CASE WHEN len({n1}) = 0 OR len({n2}) = 0 THEN NULL ELSE "
@@ -121,11 +132,11 @@ TOKEN_CJACCARD_SQL = (
     "CASE WHEN {n1} = '' OR {n2} = '' THEN NULL ELSE "
     "CAST({inter} AS DOUBLE) / least(len({t1}) + len({t2}) - {inter}, 5000) END"
 )
-# longest-common-prefix similarity over left(norm, 40) (reference
+# longest-common-prefix similarity over left(norm, LEV_PREFIX) (reference
 # prefix_dist, s2and/text.py:246-254, emitted as a similarity)
 PREFIX_SIM_SQL = (
     "CASE WHEN {n1} = '' OR {n2} = '' THEN NULL ELSE "
-    "CAST(coalesce(nullif(list_position(list_transform(range(1, 41), "
+    f"CAST(coalesce(nullif(list_position(list_transform(range(1, {LEV_PREFIX + 1}), "
     "i -> substr({p1}, i, 1) = substr({p2}, i, 1)), false), 0) - 1, "
     "least(len({p1}), len({p2}))) AS DOUBLE) / least(len({p1}), len({p2})) END"
 )
@@ -160,7 +171,8 @@ def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
                           norm2: str = "norm_text2", lang1: str = "lang1",
                           lang2: str = "lang2", ts1: str = "warc_ts1",
                           ts2: str = "warc_ts2",
-                          features: list[str] | None = None) -> pa.Table:
+                          features: list[str] | None = None,
+                          token_df: "dict[str, int] | None" = None) -> pa.Table:
     """Compute FEATURE_COLS for a batch of pair rows — the readable SPEC path
     (stages/fastfeatures.py is the bit-identical broadcast-signature twin).
 
@@ -261,6 +273,23 @@ def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
              for i, j in zip(up1, up2)),
             dtype=np.float64, count=len(up1))
         cols["token_cjaccard"] = scatter(cj_u)
+    if "df_min_shared" in want or "df_max_shared" in want:
+        if token_df is None:
+            nancol = np.full(n, np.nan)
+            cols["df_min_shared"] = nancol
+            cols["df_max_shared"] = nancol.copy()
+        else:
+            uniq_toks_df = [_token_set(u) for u in uniques]
+            mn = np.full(len(up1), np.nan)
+            mx = np.full(len(up1), np.nan)
+            for k, (i, j) in enumerate(zip(up1, up2)):
+                shared = uniq_toks_df[i] & uniq_toks_df[j]
+                if shared:
+                    dfs = [token_df.get(t, 1) for t in shared]
+                    mn[k] = float(min(dfs))
+                    mx[k] = float(max(dfs))
+            cols["df_min_shared"] = scatter(mn)
+            cols["df_max_shared"] = scatter(mx)
     if "ts_diff_days" in want:
         if ts1 in batch.column_names and ts2 in batch.column_names:
             t1 = batch.column(ts1).to_numpy(zero_copy_only=False).astype(
@@ -283,9 +312,23 @@ def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
 
 def featurize_stage(ds: ray.data.Dataset,
                     features: list[str] | None = None,
+                    token_df_ref=None,
                     **kwargs) -> ray.data.Dataset:
+    """``token_df_ref``: ObjectRef of a {token: document_frequency} dict —
+    broadcast once (ray.put), fetched zero-copy per worker; enables the
+    corpus-DF pair features."""
+
+    def _feat(b: pa.Table) -> pa.Table:
+        tdf = None
+        if token_df_ref is not None:
+            from .shuffleops import _broadcast_get
+
+            tdf = _broadcast_get(token_df_ref)
+        return featurize_pairs_batch(b, features=features, token_df=tdf,
+                                     **kwargs)
+
     return ds.map_batches(
-        lambda b: featurize_pairs_batch(b, features=features, **kwargs),
+        _feat,
         batch_format="pyarrow",
         # large batches amortize per-unique-doc set construction; capped so a
         # single oversized block doesn't become one straggler task

@@ -36,8 +36,21 @@ def emit_block_pairs(
     block_col: str,
     max_pairs_per_block: int,
     sort_col: str | None = None,
+    oversize_mode: str = "window",
 ) -> pd.DataFrame:
-    """Upper-triangle pairs for one block, canonical ``id1 < id2``."""
+    """Upper-triangle pairs for one block, canonical ``id1 < id2``.
+
+    ``oversize_mode`` picks the budget policy for blocks whose full pair
+    count exceeds ``max_pairs_per_block``:
+
+    - ``"window"`` (default, inference): sorted-neighborhood windowing —
+      every record keeps candidates, near-dups sort adjacently;
+    - ``"sample"`` (training): the reference's TRANSITIVITY-PRESERVING
+      subsample (/root/reference/s2and/data.py:1486-1701) — draw k records
+      (k·(k−1)/2 ≤ budget) with a seeded, partition-invariant hash order
+      and emit ALL pairs among them, so sampled positive pairs stay
+      transitively consistent (the property the pairwise trainer needs;
+      windowing breaks it)."""
     n = len(group)
     if n < 2:
         empty: dict = {
@@ -58,6 +71,19 @@ def emit_block_pairs(
     possible = n * (n - 1) // 2
     if possible <= max_pairs_per_block:
         iu, ju = np.triu_indices(n, k=1)
+    elif oversize_mode == "sample":
+        # k records whose complete graph fits the budget
+        k = max(2, int((1 + np.sqrt(1 + 8 * max_pairs_per_block)) // 2))
+        k = min(k, n)
+        # seeded, partition-invariant order: hash of (block, id) — the same
+        # records are drawn no matter how rows were partitioned upstream
+        from ..functions.hashing import fnv1a64
+
+        blk = group[block_col].iloc[0]
+        hs = fnv1a64([f"tps|{blk}|{v}" for v in group[id_col]])
+        take = np.sort(np.argsort(hs, kind="stable")[:k])
+        iu_k, ju_k = np.triu_indices(k, k=1)
+        iu, ju = take[iu_k], take[ju_k]
     else:
         # sorted-neighborhood window: pick w so ~n*w <= budget (w >= 1)
         w = max(1, max_pairs_per_block // n)
@@ -97,16 +123,20 @@ def pairs_from_blocks(
     max_pairs_per_block: int = 100_000,
     sort_col: str | None = None,
     num_buckets: int = 32,
+    oversize_mode: str = "window",
 ) -> ray.data.Dataset:
     """Within-block pair generation — shuffle #1 (hash-bucketed).
 
     Singleton blocks are dropped vectorized (pandas size filter) before any
-    per-group Python runs."""
+    per-group Python runs.  ``oversize_mode`` — see ``emit_block_pairs``:
+    "window" for inference recall, "sample" for the reference's
+    transitivity-preserving training subsample."""
 
     def _emit_bucket(part: pd.DataFrame) -> pd.DataFrame:
         return emit_bucket_pairs_vectorized(
             part, id_col=id_col, carry_cols=carry_cols, block_col=block_col,
-            max_pairs_per_block=max_pairs_per_block, sort_col=sort_col)
+            max_pairs_per_block=max_pairs_per_block, sort_col=sort_col,
+            oversize_mode=oversize_mode)
 
     return bucketed_group_apply(ds, block_col, _emit_bucket, num_buckets)
 
@@ -118,6 +148,7 @@ def emit_bucket_pairs_vectorized(
     block_col: str,
     max_pairs_per_block: int,
     sort_col: str | None = None,
+    oversize_mode: str = "window",
 ) -> pd.DataFrame:
     """All small blocks of a bucket at once, no per-group Python.
 
@@ -169,7 +200,7 @@ def emit_bucket_pairs_vectorized(
         big_frames.append(emit_block_pairs(
             part.iloc[lo:hi], id_col=id_col, carry_cols=carry_cols,
             block_col=block_col, max_pairs_per_block=max_pairs_per_block,
-            sort_col=sort_col))
+            sort_col=sort_col, oversize_mode=oversize_mode))
 
     if i_parts:
         iu = np.concatenate(i_parts)

@@ -151,7 +151,7 @@ def test_fast_path_many_shards():
     outs = []
     for nshards in (1, 7):
         ds = ray.data.from_pandas(docs).repartition(nshards).materialize()
-        sig = build_doc_signatures(ds)
+        sig = build_doc_signatures(ds, max_shards=nshards)
         assert len(sig.refs) == nshards
         out = featurize_and_score_fast(
             ray.data.from_pandas(pairs), ray.put(sig)).to_pandas()
@@ -161,3 +161,60 @@ def test_fast_path_many_shards():
         b = outs[1][c].to_numpy(np.float64)
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), c
+
+
+def test_fast_df_features_parity():
+    """Corpus-DF pair features (df_min_shared/df_max_shared): the broadcast
+    fast path (hashed token keys) must match the string spec path given the
+    same DF table."""
+    from ent_res_feedback_ray.functions.hashing import fnv1a64
+    from ent_res_feedback_ray.stages.fastfeatures import _mask48
+
+    docs = _docs()
+    norm_ds = ray.data.from_pandas(docs)
+    sig_ref = ray.put(build_doc_signatures(norm_ds))
+
+    # DF table from the docs themselves (DF >= 2 only, as in production)
+    from collections import Counter
+    cnt = Counter()
+    for t in docs["norm_text"]:
+        cnt.update(set(t.split()))
+    token_df = {t: c for t, c in cnt.items() if c >= 2}
+    toks = sorted(token_df)
+    keys = _mask48(fnv1a64(toks))
+    order = np.argsort(keys)
+    hashed = (keys[order],
+              np.array([token_df[toks[i]] for i in order], dtype=np.int64))
+
+    rng = np.random.default_rng(11)
+    id1 = rng.integers(0, 60, 300)
+    id2 = rng.integers(0, 60, 300)
+    keep = id1 != id2
+    pairs = pd.DataFrame({
+        "block_key": "b",
+        "id1": np.minimum(id1, id2)[keep],
+        "id2": np.maximum(id1, id2)[keep],
+        "pairs_possible": np.int64(1),
+    })
+    fast = featurize_and_score_fast(
+        ray.data.from_pandas(pairs), sig_ref,
+        token_df_ref=ray.put(hashed)).to_pandas()
+
+    from ent_res_feedback_ray.stages.features import featurize_pairs_batch
+    lk = docs.set_index("doc_id")
+    wide = pairs.copy()
+    for side in ("1", "2"):
+        wide[f"norm_text{side}"] = lk.loc[wide[f"id{side}"], "norm_text"].to_numpy()
+        wide[f"lang{side}"] = lk.loc[wide[f"id{side}"], "lang"].to_numpy()
+    spec = featurize_pairs_batch(pa.Table.from_pandas(wide),
+                                 token_df=token_df).to_pandas()
+
+    fast = fast.sort_values(["id1", "id2"]).reset_index(drop=True)
+    spec = spec.sort_values(["id1", "id2"]).reset_index(drop=True)
+    for c in ("df_min_shared", "df_max_shared"):
+        a = fast[c].to_numpy(np.float64)
+        b = spec[c].to_numpy(np.float64)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (c, np.nonzero(~same)[0][:5])
+    # sanity: at least one pair actually shares a token (non-degenerate)
+    assert np.isfinite(fast["df_min_shared"].to_numpy(np.float64)).any()

@@ -75,3 +75,36 @@ def test_b3_identical_is_perfect():
     pred, gold = _frames([(i, i % 3) for i in range(30)],
                          [(i, i % 3) for i in range(30)])
     assert b3_prf(pred, gold) == (1.0, 1.0, 1.0)
+
+
+def test_min_pair_edit_golden():
+    """Golden cases for the greedy min-pair-edit repair
+    (reference /root/reference/s2and/eval.py:1063-1160)."""
+    import pandas as pd
+
+    from ent_res_feedback_ray.eval.metrics import min_pair_edit
+
+    # no wrong pairs → zero edits
+    claims = pd.DataFrame({"id1": [1], "id2": [2], "gold_same": [True]})
+    assert min_pair_edit(claims, {1: 10, 2: 10}) == (0.0, 0, 0)
+
+    # one record split off its gold cluster: pairs (1,2)+(1,3) same-gold but
+    # record 3 sits alone → moving 3 into cluster 10 fixes everything
+    claims = pd.DataFrame({
+        "id1": [1, 1, 2], "id2": [2, 3, 3],
+        "gold_same": [True, True, True]})
+    score, steps, n_mistaken = min_pair_edit(
+        claims, {1: 10, 2: 10, 3: 99})
+    # ids 1, 2, 3 all touch a wrong pair; one move (3 → cluster 10) repairs
+    assert steps == 1 and n_mistaken == 3
+    assert score == 0.5  # 1 step / (3 − 1)
+
+    # a wrongly-merged record: (1,2) same cluster but different entities →
+    # one move to a fresh singleton fixes it
+    claims = pd.DataFrame({
+        "id1": [1, 1], "id2": [2, 3], "gold_same": [False, True]})
+    score, steps, n_mistaken = min_pair_edit(claims, {1: 5, 2: 5, 3: 5})
+    assert steps >= 1
+    # post-condition: the greedy always terminates with zero wrong pairs on
+    # these small instances
+    assert n_mistaken >= 1

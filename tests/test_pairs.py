@@ -105,3 +105,55 @@ def test_load_labeled_pairs(tmp_path):
     assert out["id1"].tolist() == [1, 2]   # canonicalized id1 < id2
     assert out["id2"].tolist() == [5, 9]
     assert load_labeled_pairs(None) is None
+
+
+def test_transitivity_preserving_sample_mode():
+    """oversize_mode='sample': an oversized block draws k records and emits
+    ALL k·(k−1)/2 pairs among them (the reference data.py:1486-1701
+    property), invariant to input partitioning."""
+    import itertools
+
+    import ray.data
+    from ent_res_feedback_ray.stages.pairs import pairs_from_blocks
+
+    n = 40
+    df = pd.DataFrame({"blk": "B", "doc_id": np.arange(n, dtype=np.int64)})
+    cap = 45  # k = 10 → 45 pairs exactly
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = pairs_from_blocks(
+            ds, block_col="blk", id_col="doc_id", carry_cols=[],
+            max_pairs_per_block=cap, oversize_mode="sample").to_pandas()
+        out = out.sort_values(["id1", "id2"]).reset_index(drop=True)
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # partition-invariant
+    # all-pairs-among-sample property: the pair set IS the complete graph
+    # over exactly the sampled records
+    sampled = sorted(set(a["id1"]) | set(a["id2"]))
+    assert len(sampled) == 10
+    expect = set(itertools.combinations(sampled, 2))
+    got = set(zip(a["id1"], a["id2"]))
+    assert got == expect
+    # lineage: pairs_possible still reports the FULL block (truncation log)
+    assert (a["pairs_possible"] == n * (n - 1) // 2).all()
+    assert len(a) == 45
+
+
+def test_window_vs_sample_lineage_distinguishable():
+    """window mode emits n·w pairs (chains), sample mode emits a clique —
+    the generated-pair count differs for the same budget, so lineage
+    counters distinguish the two modes."""
+    import ray.data
+    from ent_res_feedback_ray.stages.pairs import pairs_from_blocks
+
+    n = 40
+    df = pd.DataFrame({"blk": "B", "doc_id": np.arange(n, dtype=np.int64)})
+    cap = 45
+    win = pairs_from_blocks(
+        ray.data.from_pandas(df), block_col="blk", id_col="doc_id",
+        carry_cols=[], max_pairs_per_block=cap,
+        oversize_mode="window").to_pandas()
+    # w = 45 // 40 = 1 → 39 adjacent pairs; sample mode → 45 clique pairs
+    assert len(win) == 39
