@@ -50,21 +50,11 @@ def _assign_quality(assignments: ray.data.Dataset, gold: pd.DataFrame) -> dict:
     return cluster_metrics_dataset(pred, g)
 
 
-def synthesize_constraint_seeds(assignments: ray.data.Dataset,
-                                gold: pd.DataFrame,
-                                max_each: int = 5) -> dict:
-    """ECC-style constraint synthesis from the gold/pred cluster DIFF
-    (reference picks an exists-constraint from the diff between predicted
-    and gold clusterings, /root/reference/ecc/ecc.py:615-866; re-expressed
-    per the north rule as pairwise require/disallow seeds):
-
-    - a gold cluster split across predicted clusters → a REQUIRE seed
-      between the two largest fragments' representative docs;
-    - a predicted cluster merging several gold clusters → a DISALLOW seed
-      between the two largest merged groups' representatives.
-
-    The (pred, gold, n, rep_doc) cell table is computed DISTRIBUTED (hash
-    join + bucketed aggregate); only the |cells| rows reach the driver."""
+def _diff_cells(assignments: ray.data.Dataset, gold: pd.DataFrame) -> pd.DataFrame:
+    """(pred, gold, n_cell, rep) contingency cells of the gold/pred cluster
+    diff — computed DISTRIBUTED (hash join + bucketed aggregate); only the
+    |cells| rows reach the driver.  Shared by the pairwise-seed and the
+    exists-constraint synthesizers."""
     from ..stages.shuffleops import bucketed_aggregate
 
     pred = assignments.map_batches(
@@ -79,9 +69,25 @@ def synthesize_constraint_seeds(assignments: ray.data.Dataset,
         return df.groupby(["pred", "gold"], as_index=False).agg(
             n_cell=("id", "size"), rep=("id", "min"))
 
-    cells = bucketed_aggregate(
+    return bucketed_aggregate(
         j.map_batches(_partial, batch_format="pandas"), ["pred", "gold"],
         n_cell=("n_cell", "sum"), rep=("rep", "min")).to_pandas()
+
+
+def synthesize_constraint_seeds(assignments: ray.data.Dataset,
+                                gold: pd.DataFrame,
+                                max_each: int = 5) -> dict:
+    """ECC-style constraint synthesis from the gold/pred cluster DIFF
+    (reference picks an exists-constraint from the diff between predicted
+    and gold clusterings, /root/reference/ecc/ecc.py:615-866; re-expressed
+    per the north rule as pairwise require/disallow seeds — the true
+    existential type lives in state/ecc.py):
+
+    - a gold cluster split across predicted clusters → a REQUIRE seed
+      between the two largest fragments' representative docs;
+    - a predicted cluster merging several gold clusters → a DISALLOW seed
+      between the two largest merged groups' representatives."""
+    cells = _diff_cells(assignments, gold)
 
     seeds: dict = {}
     # splits → require
@@ -115,6 +121,7 @@ def run_feedback_rounds(
     seed: int = 17,
     resolve_kwargs: dict | None = None,
     constraints_per_round: int = 0,
+    exists_per_round: int = 0,
     tune_threshold_on_val: bool = False,
 ) -> list[dict]:
     """Run (or resume) the feedback loop; returns per-round metric dicts.
@@ -147,6 +154,7 @@ def run_feedback_rounds(
     model: LogisticScorer | None = None
     labels = pd.DataFrame(columns=["id1", "id2", "label", *FEATURE_COLS])
     seeds: dict = {}
+    exists_constraints: list = []
     history: list[dict] = []
 
     for rnd in range(n_rounds):
@@ -155,6 +163,7 @@ def run_feedback_rounds(
         model_path = os.path.join(rdir, "model.npz")
         metrics_path = os.path.join(rdir, "metrics.json")
         seeds_path = os.path.join(rdir, "seeds.json")
+        exists_path = os.path.join(rdir, "exists.json")
         if is_complete(rdir):
             # resume: reload accumulated labels + model + seeds, skip round
             labels = pd.read_parquet(label_path)
@@ -164,6 +173,11 @@ def run_feedback_rounds(
                 with open(seeds_path) as f:
                     seeds = {(int(a), int(b)): v
                              for a, b, v in json.load(f)}
+            if os.path.exists(exists_path):
+                from ..state.ecc import constraints_from_json
+
+                with open(exists_path) as f:
+                    exists_constraints = constraints_from_json(json.load(f))
             with open(metrics_path) as f:
                 history.append(json.load(f))
             continue
@@ -226,6 +240,33 @@ def run_feedback_rounds(
             seeds.update(synthesize_constraint_seeds(
                 assignments, gold, max_each=constraints_per_round))
 
+        # existential constraints (reference ECC's namesake type): check the
+        # carried list against THIS round's clustering, compile violations
+        # to require seeds for the next round, then synthesize new ones
+        if exists_per_round or exists_constraints:
+            from ..state.ecc import (
+                compile_to_seeds,
+                doc_features,
+                find_violations,
+                synthesize_exists_constraints,
+            )
+            from .er import add_doc_ids
+
+            feats = doc_features(add_doc_ids(pages)).materialize()
+            violated = find_violations(assignments, feats,
+                                       exists_constraints)
+            metrics["n_exists"] = len(exists_constraints)
+            metrics["n_exists_violated"] = len(violated)
+            seeds.update(compile_to_seeds(scored, assignments, feats,
+                                          violated))
+            if exists_per_round:
+                known = set(exists_constraints)
+                for c in synthesize_exists_constraints(
+                        assignments, gold, feats, max_new=exists_per_round):
+                    if c not in known:
+                        exists_constraints.append(c)
+                        known.add(c)
+
         # 4. global top-k uncertain pairs (exclude already-labeled)
         scored_pd_cols = ["id1", "id2", "score", *FEATURE_COLS]
 
@@ -241,11 +282,15 @@ def run_feedback_rounds(
 
         unc = exclude_pairs_stage(unc, labels[["id1", "id2"]]
                                   if len(labels) else None)
-        topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
-            2 * k_per_round).to_pandas()
-        # candidate pairs may repeat across LSH bands (dedup-free fast path)
-        topk = topk.drop_duplicates(subset=["id1", "id2"], keep="first")
-        topk = topk.head(k_per_round)
+        if k_per_round > 0:
+            topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
+                2 * k_per_round).to_pandas()
+            # candidate pairs may repeat across LSH bands (dedup-free path)
+            topk = topk.drop_duplicates(subset=["id1", "id2"], keep="first")
+            topk = topk.head(k_per_round)
+        else:
+            # constraint-only rounds (k=0): no label revelation this round
+            topk = pd.DataFrame(columns=scored_pd_cols)
 
         # 5. reveal gold labels
         revealed = topk.copy()
@@ -283,6 +328,11 @@ def run_feedback_rounds(
         labels.to_parquet(label_path, index=False)
         with open(seeds_path, "w") as f:
             json.dump([[a, b, v] for (a, b), v in sorted(seeds.items())], f)
+        if exists_constraints:
+            from ..state.ecc import constraints_to_json
+
+            with open(exists_path, "w") as f:
+                json.dump(constraints_to_json(exists_constraints), f)
         if model is not None:
             model.save(model_path)
         with open(metrics_path, "w") as f:

@@ -187,3 +187,51 @@ def test_tuned_threshold_on_val(synth_pages, tmp_path_factory):
     assert "tuned_threshold" in h[0]
     assert 0.0 <= h[0]["tuned_threshold"] <= 1.0
     assert h[0]["pair_f1"] >= 0.9
+
+
+def test_exists_constraint_repairs_split(tmp_path_factory):
+    """The namesake ECC existential constraint (reference ecc/ecc.py:30-377):
+    a gold cluster whose fr-language member shares NO tokens with its en
+    members gets split by blocking; the synthesized exists-constraint
+    ("anchor's cluster must contain a lang=fr doc") is violated, compiled
+    to a require seed, and satisfied after the round that adds it —
+    with pairwise-seed synthesis OFF, so the existential path alone repairs
+    it."""
+    import pandas as pd
+
+    out_dir = tmp_path_factory.mktemp("ecc_exists")
+    rows = []
+    # entity 0: three en docs sharing tokens + ONE fr doc sharing none
+    for i in range(3):
+        rows.append({"url": f"https://a.example.com/e0/{i}",
+                     "text": f"alpha beta gamma delta epsilon v{i}",
+                     "lang": "en", "gold": 0})
+    rows.append({"url": "https://b.example.com/e0/fr",
+                 "text": "pomme orange banane cerise prune abricot",
+                 "lang": "fr", "gold": 0})
+    # background entities (clean en clusters)
+    for e in range(1, 5):
+        for i in range(3):
+            rows.append({"url": f"https://c.example.com/e{e}/{i}",
+                         "text": f"topic{e} words{e} shared{e} stuff{e} x{i}",
+                         "lang": "en", "gold": e})
+    df = pd.DataFrame(rows)
+    pages_path = str(out_dir / "pages.parquet")
+    gold_path = str(out_dir / "gold.parquet")
+    df[["url", "text", "lang"]].to_parquet(pages_path, index=False)
+    df.rename(columns={"gold": "gold_entity_id"})[
+        ["url", "gold_entity_id"]].to_parquet(gold_path, index=False)
+
+    h = run_feedback_rounds(
+        pages_path, gold_path, str(out_dir / "rounds"), n_rounds=3,
+        k_per_round=0, constraints_per_round=0, exists_per_round=2,
+        resolve_kwargs={"use_key_blocks": True, "use_lsh": True})
+    assert len(h) == 3
+    # round 1 sees the carried constraint violated; round 2 satisfies it
+    assert h[1]["n_exists"] >= 1
+    assert h[1]["n_exists_violated"] >= 1
+    assert h[2]["n_exists_violated"] == 0
+    # the exists list is checkpointed with the round state
+    assert os.path.exists(
+        os.path.join(stage_dir(str(out_dir / "rounds"), 2, "round"),
+                     "exists.json"))
