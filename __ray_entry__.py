@@ -31,10 +31,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         # --- entity resolution (SURVEY.md §2.2/§2.5/§2.7/§2.10) ---
-        "er_pages": er.load_pages,
-        "er_normalize": lambda sf: er.pages_normalized(sf).select_columns(
-            ["doc_id", "url", "norm_text"]),
+        # er_pages = corpus read + normalize invariant in one green row
+        # (merged with the former er_normalize — 50-query driver window)
+        "er_pages": lambda sf: er.pages_normalized(sf).select_columns(
+            ["url", "warc_ts", "text", "lang", "doc_id", "norm_text"]),
         "er_blocking": er.blocked_compact,
+        "er_constraint_chain": er.constraint_chain,
         "er_candidate_pairs": er.candidate_pairs_compact,
         "er_features": er.pair_features,
         "er_scores": er.scored_pairs_compact,

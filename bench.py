@@ -137,19 +137,21 @@ def run_er_scaled(sf_dir: str, num_cpus: int, factor: int) -> dict:
     from ray.data import DataContext
 
     path = scaled_pages_path(sf_dir, factor)
-    # PRE-FAULT the object store: on virtualized hosts, first-touch page
-    # faults are served serially (~100 MB/s across the whole VM), so plasma
-    # writes during the measured run would otherwise be a fixed serial cost
-    # that no amount of cores can shrink.  A long-running production cluster
-    # pays this once at startup — so the benchmark does too (untimed).
-    # 4 GiB, NOT 8: preallocation faults the whole store at startup, and on
-    # this host 8 GiB prefault takes ~50 s — racing the raylet startup
-    # timeout (observed flaky init).  4 GiB prefaults in ~6 s and the scaled
-    # workload's live set fits with room to spill.
-    os.environ.setdefault("RAY_preallocate_plasma_memory", "1")
+    # Object store sized ∝ worker count (0.75 GiB/CPU): on a real multi-node
+    # cluster every node brings its own plasma store, so total store memory
+    # scales with the cluster — an N-vs-4N comparison against a FIXED store
+    # instead measures executor backpressure against an artificially starved
+    # 4N config (observed: 4 GiB store throttled the 32-CPU leg 2.2× at
+    # 640k docs with zero spilling).  No preallocation: prefaulting tens of
+    # GiB races the raylet startup timeout, and /dev/shm pages fault at
+    # GB/s on this host (BASELINE.md round-2 measurement) so first-touch
+    # inside the run is cheap.
+    os.environ.setdefault("RAY_preallocate_plasma_memory", "0")
+    store_gb = int(os.environ.get("GRAFT_OBJ_STORE_GB",
+                                  str(max(4, (num_cpus * 3) // 4))))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
-             object_store_memory=4 << 30)
+             object_store_memory=store_gb << 30)
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ent_res_feedback_ray.pipelines.er import resolve_pages
@@ -195,7 +197,7 @@ def run_er_scaled(sf_dir: str, num_cpus: int, factor: int) -> dict:
 def scaling_run(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """North-rule scaling evidence: the identical ER job at two parallelism
     levels in fresh processes (sandbox stand-in for N vs 4N Ray nodes)."""
-    factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "64"))
+    factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "128"))
     scaled_pages_path(sf_dir, factor)  # build cache before timing
 
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
@@ -241,7 +243,7 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_run(sf_dir)))
     elif "--er-scaled" in sys.argv:
-        factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "64"))
+        factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "128"))
         print(json.dumps(run_er_scaled(sf_dir, num_cpus, factor)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

@@ -129,6 +129,29 @@ def scored_pairs(sf_dir: str) -> ray.data.Dataset:
     return constraint_stage(scored)
 
 
+def constraint_chain(sf_dir: str) -> ray.data.Dataset:
+    """The FULL deterministic constraint chain over candidate pairs —
+    canonical-url require > exact-text require > prefix disallow >
+    middle-token-initial disallow > language disallow (reference precedence
+    chain, /root/reference/s2and/data.py:776-891; see stages/constraints.py
+    for each rule's analog).  Output: (block_key, id1, id2, constraint_val);
+    NULL = no rule fired (the model decides)."""
+    ds = blocked(sf_dir).select_columns(
+        ["doc_id", "block_key", "norm_text", "lang", "url"])
+    pairs = pairs_from_blocks(
+        ds, block_col="block_key", id_col="doc_id",
+        carry_cols=["norm_text", "lang", "url"],
+        max_pairs_per_block=10_000_000)
+    cons = constraint_stage(pairs, prefix_rule=True, midtoken_rule=True,
+                            url_rule=True)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return b.select(["block_key", "id1", "id2", "constraint"]) \
+                .rename_columns(["block_key", "id1", "id2", "constraint_val"])
+
+    return cons.map_batches(_proj, batch_format="pyarrow")
+
+
 def scored_pairs_compact(sf_dir: str) -> ray.data.Dataset:
     def _proj(b: pa.Table) -> pa.Table:
         return b.select(["block_key", "id1", "id2", "score"])
@@ -265,6 +288,56 @@ cand AS (
 )
 """.strip()
 
+# url-carrying blocks/cand twin (er_constraint_chain only)
+_BLOCKSU_CTE = f"""
+blocksu AS (
+  SELECT doc_id, url, lang, norm_text, {_BLOCK_EXPR} AS block_key FROM norm
+)
+""".strip()
+
+_CANDU_CTE = """
+candu AS (
+  SELECT a.block_key, a.doc_id AS id1, b.doc_id AS id2,
+         a.norm_text AS n1, b.norm_text AS n2, a.lang AS l1, b.lang AS l2,
+         a.url AS u1, b.url AS u2
+  FROM blocksu a JOIN blocksu b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+""".strip()
+
+
+def _constraint_chain_sql() -> str:
+    """CASE mirror of ``constraint_stage(prefix_rule=True, midtoken_rule=True,
+    url_rule=True)`` — highest-precedence WHEN first (the vectorized side
+    applies rules lowest-first so later writes win; same fixpoint)."""
+    from ..stages.constraints import (CANON_URL_SQL, DISALLOW,
+                                      MIDTOK_INI_SQL, REQUIRE)
+    from ..stages.features import FTOK_LEN
+
+    cu1 = CANON_URL_SQL.format(u="u1")
+    cu2 = CANON_URL_SQL.format(u="u2")
+    f1 = f"substr(split_part(n1, ' ', 1), 1, {FTOK_LEN})"
+    f2 = f"substr(split_part(n2, ' ', 1), 1, {FTOK_LEN})"
+    ini1 = MIDTOK_INI_SQL.format(n="n1")
+    ini2 = MIDTOK_INI_SQL.format(n="n2")
+    return f"""
+SELECT block_key, id1, id2,
+  CASE
+    WHEN {cu1} = {cu2} AND {cu1} <> '' THEN {REQUIRE}
+    WHEN n1 = n2 AND n1 <> '' AND l1 = l2 THEN {REQUIRE}
+    WHEN {f1} <> '' AND {f2} <> ''
+         AND NOT (starts_with({f1}, {f2}) OR starts_with({f2}, {f1}))
+      THEN {DISALLOW}
+    WHEN len({ini1}) > 0 AND len({ini2}) > 0
+         AND len(list_intersect({ini1}, {ini2})) = 0
+      THEN {DISALLOW}
+    WHEN l1 <> l2 THEN {DISALLOW}
+    ELSE NULL
+  END AS constraint_val
+FROM candu
+""".strip()
+
+
 _SH1 = SHINGLES_SQL.format(n="n1")
 _SH2 = SHINGLES_SQL.format(n="n2")
 _C31 = CHAR3_SQL.format(p="left(n1, 100)")
@@ -373,9 +446,12 @@ def oracle_queries() -> dict[str, str]:
     """SQL twins for each oracle-checked ER query (driver contract)."""
     base = f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE},\n{_FEAT_CTE}"
     return {
-        "er_pages": f"WITH {PAGES_CTE} SELECT url, warc_ts, text, lang, doc_id FROM pages",
-        "er_normalize": f"WITH {PAGES_CTE},\n{_NORM_CTE} "
-                        "SELECT doc_id, url, norm_text FROM norm",
+        # er_pages carries BOTH the raw corpus read and the byte-identical
+        # normalize invariant (merged from the former er_normalize row —
+        # the driver caps the correctness run at 50 queries and the
+        # constraint chain earned the slot)
+        "er_pages": f"WITH {PAGES_CTE} SELECT url, warc_ts, text, lang, "
+                    f"doc_id, {_NORM} AS norm_text FROM pages",
         "er_blocking": f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE} "
                        "SELECT doc_id, block_key FROM blocks",
         "er_candidate_pairs": f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n{_CAND_CTE} "
@@ -389,6 +465,9 @@ def oracle_queries() -> dict[str, str]:
                        "FROM feat LEFT JOIN dfagg "
                        "ON feat.id1 = dfagg.id1 AND feat.id2 = dfagg.id2",
         "er_scores": f"{base},\n{_SCORE_CTE} SELECT block_key, id1, id2, score FROM scored",
+        "er_constraint_chain": (
+            f"WITH {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKSU_CTE},\n{_CANDU_CTE} "
+            + _constraint_chain_sql()),
         "er_clusters": f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
                        f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_CLUSTER_SQL_TAIL}",
         "er_uncertain_topk": f"{base},\n{_SCORE_CTE} "
@@ -1011,31 +1090,85 @@ def claims_eval(sf_dir: str, claim_rate: float = 0.5, seed: int = 31) -> pd.Data
     })
 
 
+FACET_COLS = ("lang", "host", "len_bucket", "tok_bucket", "month",
+              "block_size_bucket", "cluster_size_bucket",
+              "homonymity_bucket", "synonymity_bucket")
+
+
 def facet_eval(sf_dir: str) -> pd.DataFrame:
-    """Multi-facet evaluation (reference ``facet_eval`` runs 15 facet
+    """Multi-facet evaluation (reference ``facet_eval`` runs ~15 facet
     breakdowns, /root/reference/s2and/eval.py:196-427): B³ of the key-block
-    partition vs the brute-force gold, broken down by language, url host,
-    and text-length bucket — one distributed cells pass per facet."""
+    partition vs the brute-force gold, broken down by NINE facets — the
+    reference's year/author-count/block-size/cluster-size analogs plus its
+    namesake within-block homonymity (same "name", different gold cluster)
+    and synonymity (different "name", same gold cluster) fractions, where
+    the webtext "name" is the leading normalized token.  All per-doc facet
+    values come out of two bucketed cogroups (gold-size, then per-block
+    pair counts via per-key transforms — no quadratic pair loop); each
+    facet then costs one distributed cells pass."""
     from ..eval.metrics import facet_metrics_dataset
+    from ..stages.shuffleops import bucketed_group_apply, join_on_key
 
     base = blocked(sf_dir).select_columns(
-        ["doc_id", "block_key", "lang", "url", "norm_text"])
+        ["doc_id", "block_key", "lang", "url", "norm_text", "warc_ts"])
 
     def _facets(df: pd.DataFrame) -> pd.DataFrame:
         host = df["url"].str.split("/").str[2]
         lb = (df["norm_text"].str.len() // 100).clip(upper=5)
+        ntok = df["norm_text"].str.split().str.len().fillna(0)
+        name = df["norm_text"].str.split(" ").str[0].fillna("")
         return pd.DataFrame({
-            "id": df["doc_id"], "pred": df["block_key"],
+            "doc_id": df["doc_id"], "pred": df["block_key"],
             "lang": df["lang"], "host": host,
-            "len_bucket": lb.astype(str)})
+            "len_bucket": lb.astype(str),
+            "tok_bucket": (ntok // 16).clip(upper=8).astype(str),
+            "month": df["warc_ts"].dt.month.astype(str),
+            "name": name})
 
     pred = base.map_batches(_facets, batch_format="pandas")
     gold = _gold_assignments(sf_dir).map_batches(
-        lambda df: pd.DataFrame({"id": df["node"], "gold": df["label"]}),
+        lambda df: pd.DataFrame({"doc_id": df["node"], "gold": df["label"]}),
         batch_format="pandas")
+
+    # true-cluster size per doc (one bucketed pass on the gold label)
+    def _csize(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["cluster_size"] = part.groupby("gold")["doc_id"].transform("size")
+        return part
+
+    gold_sized = bucketed_group_apply(gold, "gold", _csize)
+    joined = join_on_key(pred, gold_sized, "doc_id")
+
+    # per-block facets: block size + homonymity/synonymity fractions.
+    # For doc i in block B: partners = |B|-1; homonyms = |{j: name_j=name_i,
+    # gold_j≠gold_i}| = #same_name − #same_name_same_gold; synonyms =
+    # |{j: gold_j=gold_i, name_j≠name_i}| — all via per-key transforms.
+    def _block_stats(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        bs = part.groupby("pred")["doc_id"].transform("size")
+        nn = part.groupby(["pred", "name"])["doc_id"].transform("size")
+        ng = part.groupby(["pred", "name", "gold"])["doc_id"].transform("size")
+        gg = part.groupby(["pred", "gold"])["doc_id"].transform("size")
+        denom = np.maximum(bs - 1, 1)
+        part["block_size_bucket"] = np.floor(
+            np.log2(bs.clip(lower=1))).astype(np.int64).astype(str)
+        part["homonymity_bucket"] = ((nn - ng) / denom).round(1).astype(str)
+        part["synonymity_bucket"] = ((gg - ng) / denom).round(1).astype(str)
+        return part
+
+    full = bucketed_group_apply(joined, "pred", _block_stats).map_batches(
+        lambda df: df.assign(
+            cluster_size_bucket=np.floor(np.log2(
+                df["cluster_size"].clip(lower=1))).astype(np.int64).astype(str),
+            id=df["doc_id"]),
+        batch_format="pandas").materialize()
+
+    gold_ids = gold.map_batches(
+        lambda df: pd.DataFrame({"id": df["doc_id"], "gold": df["gold"]}),
+        batch_format="pandas").materialize()
     frames = []
-    for facet in ("lang", "host", "len_bucket"):
-        m = facet_metrics_dataset(pred, gold, facet_col=facet)
+    for facet in FACET_COLS:
+        m = facet_metrics_dataset(full, gold_ids, facet_col=facet)
         m = m.rename(columns={facet: "facet_value"})
         m.insert(0, "facet", facet)
         frames.append(m)

@@ -82,18 +82,64 @@ class DocSignatures:
 
 
 class ShardedSignatures:
-    """Driver-side handle: a tiny routing index (sorted doc ids → shard,
-    local position) + shard ObjectRefs.  ~24 bytes/doc on the driver; the
-    heavy arrays never leave the object store."""
+    """Handle: a routing index (sorted doc ids → shard, local position) +
+    shard ObjectRefs.  The route is itself plasma-resident behind
+    ``route_ref`` and resolved lazily on first access — so building the
+    handle never blocks the driver, and the shard/route tasks overlap with
+    whatever Dataset stage executes next (the blocking shuffle, in
+    resolve_pages).  Workers resolve it zero-copy once per process (the
+    handle instance is cached by ``_broadcast_get``)."""
 
-    __slots__ = ("route_ids", "route_shard", "route_local", "refs", "have_ts")
+    __slots__ = ("_route", "route_ref", "refs", "have_ts")
 
-    def __init__(self, route_ids, route_shard, route_local, refs, have_ts):
-        self.route_ids = route_ids
-        self.route_shard = route_shard
-        self.route_local = route_local
+    def __init__(self, route_ref, refs, have_ts, _route=None):
+        self.route_ref = route_ref
         self.refs = refs
         self.have_ts = have_ts
+        self._route = _route
+
+    def _resolve(self):
+        if self._route is None:
+            self._route = ray.get(self.route_ref)
+        return self._route
+
+    @property
+    def route_ids(self):
+        return self._resolve()[0]
+
+    @property
+    def route_shard(self):
+        return self._resolve()[1]
+
+    @property
+    def route_local(self):
+        return self._resolve()[2]
+
+    def __getstate__(self):
+        # never ship resolved route arrays inside the pickled handle — the
+        # route stays one shared plasma object (workers re-resolve lazily).
+        # A ref-less handle (empty corpus) ships its tiny inline route.
+        return (self.route_ref, self.refs, self.have_ts,
+                self._route if self.route_ref is None else None)
+
+    def __setstate__(self, st):
+        self.route_ref, self.refs, self.have_ts, self._route = st
+
+
+@ray.remote
+def _route_task(*id_lists):
+    """Assemble the sorted routing index from per-shard id arrays — runs in
+    a worker so the driver never serializes on an O(docs) concatenate/sort
+    (round-2 verdict: that build was a measurable serial stage)."""
+    ids = (np.concatenate(id_lists) if id_lists
+           else np.empty(0, np.int64)).astype(np.int64)
+    shard = np.repeat(np.arange(len(id_lists), dtype=np.int64),
+                      [len(x) for x in id_lists])
+    local = (np.concatenate([np.arange(len(x), dtype=np.int64)
+                             for x in id_lists]) if id_lists
+             else np.empty(0, np.int64))
+    o = np.argsort(ids, kind="stable")
+    return ids[o], shard[o], local[o]
 
 
 def _sig_batch(t: pa.Table, id_col: str, norm_col: str, lang_col: str,
@@ -313,6 +359,15 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
     # featurize stage's per-batch gather pays per shard RUN — 128 input
     # micro-blocks as 128 shards made every batch 4× more expensive than 32
     ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    if not block_refs:
+        empty = _assemble_shard(
+            _sig_batch(pa.table({id_col: pa.array([], pa.int64()),
+                                 norm_col: pa.array([], pa.string()),
+                                 lang_col: pa.array([], pa.string())}),
+                       id_col, norm_col, lang_col, ts_col, False), False)
+        z = np.empty(0, np.int64)
+        return ShardedSignatures(None, [ray.put(empty)], have_ts,
+                                 _route=(z, z, z))
     n_shards = max(1, min(len(block_refs), max_shards or ncpu))
     groups = [block_refs[i::n_shards] for i in range(n_shards)]
     id_refs, sig_refs = [], []
@@ -321,26 +376,13 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
             id_col, norm_col, lang_col, ts_col, have_ts, *grp)
         id_refs.append(ids_ref)
         sig_refs.append(sref)
-    id_lists = ray.get(id_refs)
-    s = _tick("assemble", s)
-    keep = [(ids, r) for ids, r in zip(id_lists, sig_refs) if len(ids)]
-    if not keep:
-        empty = _assemble_shard(
-            _sig_batch(pa.table({id_col: pa.array([], pa.int64()),
-                                 norm_col: pa.array([], pa.string()),
-                                 lang_col: pa.array([], pa.string())}),
-                       id_col, norm_col, lang_col, ts_col, False), False)
-        z = np.empty(0, np.int64)
-        return ShardedSignatures(z, z, z, [ray.put(empty)], have_ts)
-    route_ids = np.concatenate([ids for ids, _ in keep])
-    route_shard = np.repeat(np.arange(len(keep), dtype=np.int64),
-                            [len(ids) for ids, _ in keep])
-    route_local = np.concatenate(
-        [np.arange(len(ids), dtype=np.int64) for ids, _ in keep])
-    o = np.argsort(route_ids, kind="stable")
-    handle = ShardedSignatures(route_ids[o], route_shard[o], route_local[o],
-                               [r for _, r in keep], have_ts)
-    _tick("route", s)
+    # NO driver ray.get: the route assembles in a worker task; the handle
+    # carries its ObjectRef and callers keep building the (lazy) Dataset
+    # graph — shard + route tasks execute CONCURRENTLY with the next stage's
+    # execution (e.g. the blocking shuffle) instead of serializing before it
+    route_ref = _route_task.remote(*id_refs)
+    handle = ShardedSignatures(route_ref, sig_refs, have_ts)
+    _tick("launch", s)
     return handle
 
 

@@ -124,6 +124,75 @@ def distinct_values(ds: ray.data.Dataset, col: str,
     return bucketed_group_apply(ds, col, _distinct, num_buckets)
 
 
+def _placeholder_value(t):
+    """Neutral value of (arrow / numpy / python) type ``t`` for tagged-union
+    schemas — placeholders never survive the merge."""
+    import pyarrow as _pa
+
+    if isinstance(t, _pa.DataType):
+        if _pa.types.is_integer(t):
+            return np.int64(0)
+        if _pa.types.is_floating(t):
+            return np.float64(0.0)
+        if _pa.types.is_boolean(t):
+            return False
+        if _pa.types.is_timestamp(t):
+            return pd.Timestamp(0)
+        return ""
+    try:
+        kind = np.dtype(t).kind
+    except TypeError:
+        return ""
+    return {"i": np.int64(0), "u": np.int64(0), "f": np.float64(0.0),
+            "b": False, "M": pd.Timestamp(0)}.get(kind, "")
+
+
+def join_on_key(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    num_buckets: int = 32,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Bucketed cogroup equi-join of two datasets on ``key`` — ONE shuffle
+    of the tagged union, per-bucket C-speed pandas merge.  Doc-level
+    companion of ``attach_attrs`` (which joins onto id1/id2 pair rows)."""
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = [c for c in rsch.names if c != key]
+    l_ph = {c: _placeholder_value(t) for c, t in zip(lsch.names, lsch.types)}
+    r_ph = {c: _placeholder_value(t) for c, t in zip(rsch.names, rsch.types)}
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in rcols:
+            if c not in df.columns:
+                df[c] = r_ph[c]
+        df["__is_r"] = False
+        return df[all_cols + ["__is_r"]]
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        for c in all_cols:
+            if c == key or c in rcols:
+                out[c] = df[c].to_numpy()
+            else:
+                out[c] = pd.Series([l_ph[c]] * len(df))
+        out["__is_r"] = True
+        return out[all_cols + ["__is_r"]]
+
+    tagged = left.map_batches(_tag_left, batch_format="pandas").union(
+        right.map_batches(_tag_right, batch_format="pandas"))
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        r = part.loc[part["__is_r"], [key, *rcols]]
+        l = part.loc[~part["__is_r"], lcols]
+        return l.merge(r, on=key, how=how)
+
+    return bucketed_group_apply(tagged, key, _merge, num_buckets)
+
+
 def attach_attrs(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,

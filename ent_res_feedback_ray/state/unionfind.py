@@ -172,8 +172,22 @@ def connected_components(
 ) -> ray.data.Dataset:
     """Auto path: small edge sets collapse on the driver (provably bounded
     pull), large ones run the distributed fixpoint."""
+    import os as _os
+    import time as _time
+
+    _prof = bool(_os.environ.get("GRAFT_ER_PROFILE"))
+    _t = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t
+        if _prof:
+            now = _time.perf_counter()
+            print(f"CCPROF {label} {now - _t:.2f}", flush=True)
+            _t = now
+
     edges = edges.materialize()  # one execution serves count + pull/propagate
     n_edges = edges.count()
+    _tick("edges_materialize")
     if n_edges <= driver_threshold:
         src_l, dst_l = [], []
         for batch in edges.iter_batches(batch_format="pandas", batch_size=262_144):
@@ -181,13 +195,18 @@ def connected_components(
             dst_l.append(batch["dst"].to_numpy(dtype=np.int64))
         src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
         dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
+        _tick(f"edge_pull({n_edges})")
         if nodes is not None:
             extra = nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
             all_nodes = np.unique(np.concatenate([src, dst, extra]))
         else:
             all_nodes = np.unique(np.concatenate([src, dst])) if len(src) else \
                 np.empty(0, np.int64)
+        _tick(f"node_pull({len(all_nodes)})")
         node_arr, label_arr = unionfind_labels(src, dst, all_nodes)
+        _tick("unionfind")
         df = pd.DataFrame({"node": node_arr, "label": label_arr})
-        return ray.data.from_pandas(df)
+        out = ray.data.from_pandas(df)
+        _tick("from_pandas")
+        return out
     return connected_components_distributed(edges, nodes=nodes, max_rounds=max_rounds)

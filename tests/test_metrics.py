@@ -108,3 +108,24 @@ def test_min_pair_edit_golden():
     # post-condition: the greedy always terminates with zero wrong pairs on
     # these small instances
     assert n_mistaken >= 1
+
+
+def test_facet_eval_nine_facets(sf_dir):
+    """facet_eval covers the reference's facet families (year/author-count/
+    block-size/cluster-size analogs + the namesake homonymity/synonymity
+    within-block fractions, /root/reference/s2and/eval.py:196-427)."""
+    import numpy as np
+
+    from ent_res_feedback_ray.pipelines.er import FACET_COLS, facet_eval
+
+    out = facet_eval(sf_dir)
+    assert set(out["facet"]) == set(FACET_COLS)
+    assert len(FACET_COLS) == 9
+    # per-facet metric rows are finite and within [0, 1]
+    for c in ("b3_precision", "b3_recall", "b3_f1"):
+        v = out[c].to_numpy(dtype=float)
+        assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+    # homonymity/synonymity buckets are fraction strings in [0, 1]
+    for facet in ("homonymity_bucket", "synonymity_bucket"):
+        vals = out.loc[out["facet"] == facet, "facet_value"].astype(float)
+        assert ((vals >= 0) & (vals <= 1)).all()
