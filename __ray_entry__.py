@@ -54,7 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_snm_pairs": er.snm_pairs,
         "er_time_split": er.time_split,
         "er_b3_blocks_vs_lang": er.b3_blocks_vs_lang,
-        "er_hac_clusters": er.hac_clusters,
+        # hac + correlation-clustering (SDP relax + max-agree cut) in one row
+        "er_hac_clusters": er.hac_cc_clusters,
         "er_scores_trained": er.scores_trained,
         "er_incremental_clusters": er.incremental_clusters,
         "er_feedback_metrics": er.feedback_metrics,

@@ -1233,7 +1233,33 @@ def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     return clustered.union(singletons).sort("id")
 
 
-def scores_trained(sf_dir: str, max_train_pairs: int = 50_000) -> ray.data.Dataset:
+def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
+    """Per-block HAC cut AND correlation-clustering inference side by side
+    (rows-only; one driver row covers both clustering operators inside the
+    50-query window).  CC = the reference's SDP-relax + HAC-max-agree-cut
+    stack (/root/reference/e2e_pipeline/cc_inference.py:15-48), numpy
+    re-expression in stages/correlation.py.  Columns: (id, cluster_id,
+    cc_cluster_id); docs with no scored pair are their own CC cluster, same
+    as their HAC singleton label."""
+    from ..stages.correlation import cc_block_clustering
+    from ..stages.shuffleops import join_on_key
+
+    hac = hac_clusters(sf_dir, eps=eps)
+    cc = cc_block_clustering(scored_pairs(sf_dir)).map_batches(
+        lambda df: df.rename(columns={"cluster_id": "cc_cluster_id"}),
+        batch_format="pandas")
+    joined = join_on_key(hac, cc, "id")
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cc_cluster_id"] = df["cc_cluster_id"].fillna(df["cluster_id"])
+        return df
+
+    return joined.map_batches(_fill, batch_format="pandas").sort("id")
+
+
+def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
+                   scorer: str = "logistic") -> ray.data.Dataset:
     """Trained-scorer path: fit the numpy logistic scorer on deterministic
     self-labels (shingle_jaccard ≥ 0.5) over a BOUNDED training sample of the
     candidate pairs, then serve inference through the actor-pool stage
@@ -1242,10 +1268,15 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000) -> ray.data.Datas
     (/root/reference/s2and/model.py:744-876) with its bounded training set
     (≤100k pairs, e2e_scripts/preprocess_s2and_data.py:34-36): a
     partition-invariant hash sample + balanced per-class cap — the full pair
-    set never reaches the driver."""
+    set never reaches the driver.
+
+    ``scorer``: "logistic" (default, the registered query's pinned behavior)
+    or "mlp" (the numpy MLPLayer analog, state/mlp.py) — both serve through
+    the same duck-typed actor-pool stage."""
     from ..stages.features import FEATURE_COLS
     from ..stages.sampling import balanced_sample, pair_sample_stage
     from ..stages.scoring import trained_scoring_stage
+    from ..state.mlp import MLPScorer
     from ..state.model import LogisticScorer
 
     feats = featurize_stage(candidate_pairs(sf_dir)).materialize()
@@ -1258,7 +1289,8 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000) -> ray.data.Datas
                       >= GOLD_JACCARD).astype(np.float64)
     train = balanced_sample(train, "label", max_train_pairs // 2,
                             key_cols=["id1", "id2"], seed=29)
-    model = LogisticScorer(seed=17).fit(
+    cls = MLPScorer if scorer == "mlp" else LogisticScorer
+    model = cls(seed=17).fit(
         train[FEATURE_COLS].to_numpy(np.float64),
         train["label"].to_numpy(np.float64))
     scored = trained_scoring_stage(feats, model)

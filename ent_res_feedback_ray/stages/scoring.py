@@ -56,12 +56,14 @@ class TrainedScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         X = np.column_stack([
-            np.nan_to_num(
-                batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64),
-                nan=self.model.nan_fill,
-            )
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
             for c in self.feature_cols
         ])
+        # scorers that declare a nan_fill get pre-imputed input (logistic);
+        # scorers with native missing handling (MLP mask-concat) get raw NaNs
+        nf = getattr(self.model, "nan_fill", None)
+        if nf is not None:
+            X = np.nan_to_num(X, nan=nf)
         p = self.model.predict_proba(X)
         return batch.append_column(self.out_col, pa.array(p, pa.float64()))
 
