@@ -123,11 +123,20 @@ def run_feedback_rounds(
     constraints_per_round: int = 0,
     exists_per_round: int = 0,
     tune_threshold_on_val: bool = False,
+    scorer_cls: type | None = None,
 ) -> list[dict]:
     """Run (or resume) the feedback loop; returns per-round metric dicts.
 
     ``gold_path`` parquet: (url, gold_entity_id) — read only for metric
-    computation and label revelation, never visible to the pipeline."""
+    computation and label revelation, never visible to the pipeline.
+
+    ``scorer_cls``: pairwise scorer class to retrain each round —
+    ``LogisticScorer`` (default) or ``state.mlp.MLPScorer``.  With the MLP
+    this loop is the graft's analog of the reference e2e train loop
+    (/root/reference/e2e_scripts/train.py:32-425): alternating
+    MLP-score → cluster → reveal → retrain, minus the backprop-through-SDP
+    step (no autodiff in this env; CC inference is available as the forward
+    clustering via stages/correlation.py)."""
     os.makedirs(out_dir, exist_ok=True)
     # inputs may be single parquet files OR checkpoint directories (written
     # by write_checkpoint, which adds a _SUCCESS marker the readers must skip)
@@ -151,7 +160,8 @@ def run_feedback_rounds(
     gold = gold_urls[["doc_id", "gold_entity_id"]]
     gold_lookup = dict(zip(gold["doc_id"], gold["gold_entity_id"]))
 
-    model: LogisticScorer | None = None
+    scorer_cls = scorer_cls or LogisticScorer
+    model = None
     labels = pd.DataFrame(columns=["id1", "id2", "label", *FEATURE_COLS])
     seeds: dict = {}
     exists_constraints: list = []
@@ -168,7 +178,7 @@ def run_feedback_rounds(
             # resume: reload accumulated labels + model + seeds, skip round
             labels = pd.read_parquet(label_path)
             if os.path.exists(model_path):
-                model = LogisticScorer.load(model_path)
+                model = scorer_cls.load(model_path)
             if os.path.exists(seeds_path):
                 with open(seeds_path) as f:
                     seeds = {(int(a), int(b)): v
@@ -315,13 +325,15 @@ def run_feedback_rounds(
         if tr["label"].nunique() > 1:
             X = tr[FEATURE_COLS].to_numpy(dtype=np.float64)
             y = tr["label"].to_numpy(dtype=np.float64)
-            model = LogisticScorer(seed=seed).fit(X, y)
+            model = scorer_cls(seed=seed).fit(X, y)
             if len(va) and va["label"].nunique() > 1:
+                Xv = va[FEATURE_COLS].to_numpy(np.float64)
+                nf = getattr(model, "nan_fill", None)
+                if nf is not None:
+                    Xv = np.nan_to_num(Xv, nan=nf)
                 metrics["val_auroc"] = float(auroc(
                     va["label"].to_numpy(np.float64),
-                    model.predict_proba(
-                        np.nan_to_num(va[FEATURE_COLS].to_numpy(np.float64),
-                                      nan=model.nan_fill))))
+                    model.predict_proba(Xv)))
 
         # 7. round checkpoint
         os.makedirs(rdir, exist_ok=True)

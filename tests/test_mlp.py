@@ -74,3 +74,31 @@ def test_scores_trained_mlp_path(sf_dir):
     out = scores_trained(sf_dir, scorer="mlp").to_pandas()
     assert len(out) > 0
     assert out["score"].between(0.0, 1.0).all()
+
+
+def test_feedback_loop_with_mlp_scorer(synth_pages, tmp_path_factory):
+    """e2e-train-loop analog: MLP edge scorer retrained each feedback round
+    (reference /root/reference/e2e_scripts/train.py:32-425, minus the
+    backprop-through-SDP step — no autodiff in this env)."""
+    from ent_res_feedback_ray.pipelines.feedback import run_feedback_rounds
+    from ent_res_feedback_ray.state.mlp import MLPScorer
+
+    pages_path, gold_path = synth_pages
+    out = str(tmp_path_factory.mktemp("mlp_rounds"))
+    history = run_feedback_rounds(
+        pages_path, gold_path, out, n_rounds=2, k_per_round=150,
+        scorer_cls=MLPScorer,
+        resolve_kwargs={"use_key_blocks": False, "use_lsh": True})
+    assert len(history) == 2
+    assert history[-1]["pair_f1"] >= 0.9
+    # the round-1 model checkpoint reloads as an MLP and scores
+    import os
+
+    from ent_res_feedback_ray.state.checkpoint import stage_dir
+
+    mp = os.path.join(stage_dir(out, 1, "round"), "model.npz")
+    if os.path.exists(mp):
+        m = MLPScorer.load(mp)
+        import numpy as np
+        p = m.predict_proba(np.random.default_rng(1).random((8, len(m.mu))))
+        assert np.isfinite(p).all()
