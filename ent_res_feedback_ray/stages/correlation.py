@@ -89,16 +89,18 @@ def sdp_lowrank(W: np.ndarray, rank: int = 8, max_iters: int = 500,
     return obj_ma, X
 
 
-def hac_cut(X: np.ndarray, W: np.ndarray) -> tuple[np.ndarray, float]:
-    """Average-linkage tree over the fractional solution, cut by max-agree
+def hac_cut(X: np.ndarray, W: np.ndarray,
+            linkage: str = "average") -> tuple[np.ndarray, float]:
+    """Agglomeration tree over the fractional solution, cut by max-agree
     energy (reference ``HACCutLayer.get_rounded_solution``,
     /root/reference/e2e_pipeline/hac_cut_layer.py:16-126).
 
-    The full tree is always built (D−1 merges on dissimilarity 1−X, average
-    linkage); a merge is *accepted* — its leaves collapse into one flat
-    cluster — iff the merged leaves' total pairwise weight is ≥ the sum of
-    the children's accepted energies.  Returns (labels 0..k−1 numbered by
-    smallest member, max-agree objective of the rounded solution)."""
+    The full tree is always built (D−1 merges on dissimilarity 1−X;
+    ``linkage`` ∈ average/single/complete); a merge is *accepted* — its
+    leaves collapse into one flat cluster — iff the merged leaves' total
+    pairwise weight is ≥ the sum of the children's accepted energies.
+    Returns (labels 0..k−1 numbered by smallest member, max-agree objective
+    of the rounded solution)."""
     n = X.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64), 0.0
@@ -120,7 +122,12 @@ def hac_cut(X: np.ndarray, W: np.ndarray) -> tuple[np.ndarray, float]:
         if i > j:
             i, j = j, i
         ni, nj = size[i], size[j]
-        new_row = (ni * d[i] + nj * d[j]) / (ni + nj)   # Lance-Williams avg
+        if linkage == "single":
+            new_row = np.minimum(d[i], d[j])
+        elif linkage == "complete":
+            new_row = np.maximum(d[i], d[j])
+        else:
+            new_row = (ni * d[i] + nj * d[j]) / (ni + nj)  # Lance-Williams
         d[i] = new_row
         d[:, i] = new_row
         d[i, i] = np.inf
@@ -149,6 +156,29 @@ def hac_cut(X: np.ndarray, W: np.ndarray) -> tuple[np.ndarray, float]:
     rounded = W * np.triu(same, k=1)
     obj_ma = float(rounded.sum() - rounded[rounded < 0].sum())
     return labels, obj_ma
+
+
+def trellis_cut(X: np.ndarray, W: np.ndarray,
+                linkages: tuple[str, ...] = ("average", "single", "complete"),
+                ) -> tuple[np.ndarray, float]:
+    """Trellis-cut analog (reference ``TrellisCutLayer`` +
+    ``build_trellis``/``cut_trellis``,
+    /root/reference/e2e_pipeline/trellis_cut_layer.py:15-26,
+    /root/reference/utils/trellis_helper_fns.py:6-57): the reference cuts a
+    trellis — a DAG unioning candidate clusters from several agglomeration
+    runs — maximizing intra-cluster energy over every clustering the DAG
+    encodes.  This analog cuts each linkage's tree with the same max-agree
+    rule and returns the best flat clustering found; a strict trellis can
+    mix subtrees across runs and so can only do better — this is the
+    documented lower bound, exact whenever one tree contains the optimum
+    (always true for the single-tree trellis the reference defaults to,
+    ``only_avg_hac=True``)."""
+    best_labels, best_obj = None, -np.inf
+    for lk in linkages:
+        labels, obj = hac_cut(X, W, linkage=lk)
+        if obj > best_obj:
+            best_labels, best_obj = labels, obj
+    return best_labels, float(best_obj)
 
 
 def cc_labels(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,

@@ -106,3 +106,39 @@ def test_hac_cc_clusters_query(sf_dir):
     n_cc = out["cc_cluster_id"].nunique()
     assert n_cc < len(out)
     assert n_cc >= out["cluster_id"].nunique() // 2
+
+
+def test_trellis_cut_best_of_linkages():
+    """Trellis cut returns the max-objective clustering across linkage
+    trees; on a clean planted instance every tree finds the optimum."""
+    from ent_res_feedback_ray.stages.correlation import hac_cut, trellis_cut
+
+    W, gold = _planted_weights([3, 4])
+    _, X = sdp_lowrank(W)
+    labels, obj = trellis_cut(X, W)
+    per_tree = [hac_cut(X, W, linkage=lk)[1]
+                for lk in ("average", "single", "complete")]
+    assert np.isclose(obj, max(per_tree))
+    assert obj >= max(per_tree) - 1e-12
+    pred_same = labels[:, None] == labels[None, :]
+    gold_same = gold[:, None] == gold[None, :]
+    assert np.array_equal(pred_same, gold_same)
+
+
+def test_trellis_cut_beats_single_tree_sometimes():
+    """A noisy instance where at least one linkage tree's cut is strictly
+    worse than the trellis best — the multi-tree search has real effect."""
+    from ent_res_feedback_ray.stages.correlation import hac_cut, trellis_cut
+
+    rng = np.random.default_rng(12)
+    n = 12
+    gold = np.repeat([0, 1, 2], 4)
+    W = np.where(gold[:, None] == gold[None, :], 0.3, -0.3)
+    W = W + rng.normal(0, 0.35, (n, n))
+    W = np.triu(W, k=1)
+    _, X = sdp_lowrank(W)
+    _, obj = trellis_cut(X, W)
+    per_tree = [hac_cut(X, W, linkage=lk)[1]
+                for lk in ("average", "single", "complete")]
+    assert np.isclose(obj, max(per_tree))
+    assert obj >= min(per_tree)
