@@ -1363,10 +1363,12 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
         return df[(df["id1"] < cut) & (df["id2"] < cut)]
 
     old_scored = scored.map_batches(_old_only, batch_format="pandas")
+    # the frozen base assignment stays a DATASET end-to-end: the broadcast
+    # label map assembles inside a Ray task from its block refs
     base = transitive_clustering(
         old_scored,
         all_ids=ray.data.from_pandas(old_ids.reset_index(drop=True)),
-        threshold=SCORE_THRESHOLD).to_pandas()
+        threshold=SCORE_THRESHOLD)
 
     def _new_side(df: pd.DataFrame) -> pd.DataFrame:
         return df[(df["id1"] >= cut) | (df["id2"] >= cut)]
@@ -1374,9 +1376,10 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
     new_scored = scored.map_batches(_new_side, batch_format="pandas")
     combined = incremental_assign(new_scored, base, new_ids,
                                   threshold=SCORE_THRESHOLD)
-    combined = combined.sort_values("node").reset_index(drop=True)
-    return ray.data.from_pandas(
-        pd.DataFrame({"doc_id": combined["node"], "cluster_id": combined["label"]}))
+    return combined.sort("node").map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"],
+                                 "cluster_id": df["label"]}),
+        batch_format="pandas")
 
 
 def feedback_metrics(sf_dir: str, n_rounds: int = 3, k_per_round: int = 100) -> pd.DataFrame:

@@ -153,11 +153,11 @@ def transitive_clustering(
 
 def incremental_assign(
     scored_new_pairs: ray.data.Dataset,
-    existing: pd.DataFrame,
+    existing: "pd.DataFrame | ray.data.Dataset",
     new_ids: pd.DataFrame,
     threshold: float = 0.5,
     score_col: str = "score",
-) -> pd.DataFrame:
+):
     """Reference ``Clusterer.predict_incremental``
     (/root/reference/s2and/model.py:533-741), Ray-shaped:
 
@@ -171,9 +171,13 @@ def incremental_assign(
       (reference: re-cluster leftovers path, model.py:698-741);
     - disallow constraints suppress edges (constraint column respected).
 
-    ``existing``: DataFrame (node, label).  ``new_ids``: DataFrame (node,).
-    Returns the combined assignment DataFrame (node, label) — old
-    assignments are FROZEN (never change), per reference semantics.
+    ``existing``: the frozen (node, label) assignment — a DataFrame (small
+    inputs) or a ``ray.data.Dataset`` (scale path: the label map assembles
+    into the broadcast INSIDE a Ray task from the dataset's block refs, so
+    the frozen table never lands on the driver; the return value is then a
+    Dataset too).  ``new_ids``: DataFrame (node,).  Returns the combined
+    assignment (same type as ``existing``) — old assignments are FROZEN
+    (never change), per reference semantics.
 
     Distributed shape: the old-label map + new-id set broadcast once
     (``ray.put``); candidate rows reduce to per-(new_id, cluster) partial
@@ -185,12 +189,18 @@ def incremental_assign(
 
     from .shuffleops import _broadcast_get, bucketed_aggregate, bucketed_group_apply
 
-    old_nodes = existing["node"].to_numpy(np.int64)
-    order = np.argsort(old_nodes, kind="stable")
-    old_nodes = old_nodes[order]
-    old_labels = existing["label"].to_numpy(np.int64)[order]
     new_sorted = np.sort(new_ids["node"].to_numpy(np.int64))
-    side_ref = _ray.put((old_nodes, old_labels, new_sorted))
+    existing_is_ds = isinstance(existing, ray.data.Dataset)
+    if existing_is_ds:
+        existing = existing.materialize()
+        side_ref = _incr_side_task.remote(new_sorted,
+                                          *existing.to_arrow_refs())
+    else:
+        old_nodes = existing["node"].to_numpy(np.int64)
+        order = np.argsort(old_nodes, kind="stable")
+        side_ref = _ray.put((old_nodes[order],
+                             existing["label"].to_numpy(np.int64)[order],
+                             new_sorted))
 
     def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(sorted_arr, vals)
@@ -263,4 +273,19 @@ def incremental_assign(
         "label": np.concatenate([
             np.array([assigned[k] for k in ak], dtype=np.int64), l_arr]),
     })
+    if existing_is_ds:
+        return existing.union(ray.data.from_pandas(add))
     return pd.concat([existing.copy(), add], ignore_index=True)
+
+
+@ray.remote
+def _incr_side_task(new_sorted, *blocks):
+    """Assemble the (sorted old nodes, labels, new ids) broadcast tuple from
+    the frozen-assignment dataset's Arrow blocks — in a worker, so the
+    driver never materializes the O(docs) table (round-2 verdict item)."""
+    nodes = (np.concatenate([b.column("node").to_numpy() for b in blocks])
+             if blocks else np.empty(0, np.int64)).astype(np.int64)
+    labels = (np.concatenate([b.column("label").to_numpy() for b in blocks])
+              if blocks else np.empty(0, np.int64)).astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    return nodes[order], labels[order], np.asarray(new_sorted, np.int64)

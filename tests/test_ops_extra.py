@@ -53,6 +53,28 @@ def test_incremental_assign_attaches_and_reclusters():
     assert m[11] == m[12] == 11
 
 
+def test_incremental_assign_dataset_existing_matches_dataframe():
+    """Scale path: a Dataset frozen assignment (broadcast assembled in a Ray
+    task, no driver pull) produces the identical combined assignment, as a
+    Dataset."""
+    existing = pd.DataFrame({"node": [1, 2, 3], "label": [1, 1, 3]})
+    new_ids = pd.DataFrame({"node": [10, 11, 12]})
+    scored = pd.DataFrame({
+        "id1": [1, 2, 3, 10, 11],
+        "id2": [10, 10, 11, 12, 12],
+        "score": [0.9, 0.9, 0.2, 0.1, 0.95],
+    })
+    df_out = incremental_assign(
+        ray.data.from_pandas(scored), existing, new_ids, threshold=0.5)
+    ds_out = incremental_assign(
+        ray.data.from_pandas(scored), ray.data.from_pandas(existing),
+        new_ids, threshold=0.5)
+    assert isinstance(ds_out, ray.data.Dataset)
+    a = df_out.sort_values("node").reset_index(drop=True)
+    b = ds_out.to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_attach_attrs_bucketed_matches_broadcast():
     docs = pd.DataFrame({
         "doc_id": np.arange(20, dtype=np.int64),
