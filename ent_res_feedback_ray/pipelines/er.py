@@ -671,8 +671,14 @@ def resolve_pages(
         sig = build_doc_signatures(norm)
         sig_ref = _ray.put(sig)
         _tick("signatures")
+        # batch size tracks input size: a small corpus must still fan out
+        # across the cluster (at 5k docs / ~110k pairs, 16384-pair batches
+        # make only ~7 tasks on 32 cores — 4× wall time for zero benefit);
+        # big corpora keep the large batch to amortize per-batch gathers
+        fb = int(np.clip(n_docs // 2, 2048, 16384))
         scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds,
-                                          alias_pairs=alias_pairs)
+                                          alias_pairs=alias_pairs,
+                                          batch_size=fb)
         if model is not None:
             scored = trained_scoring_stage(
                 scored.drop_columns(["score"]), model,
