@@ -1,11 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata,
 decode / feature-extract as actor-pool ``map_batches`` stages.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are STUBS (clearly marked below): ``decode_image`` raises
-``NotImplementedError`` unless ``allow_fake=True``, in which case a
-deterministic fake decoder (byte-statistics "features") stands in.  The Ray
-side — schema, batch sizing for large binary rows, actor signature, output
+The image/video codec libraries are not in this container, so those decode
+kernels are STUBS (clearly marked below): they raise ``NotImplementedError``
+unless ``allow_fake=True``, in which case a deterministic fake decoder
+(byte-statistics "features") stands in.  REAL kernels that need no external
+library are implemented for real: WAV/PCM16 audio decode (``decode_wav``,
+RIFF is a public container format) + windowed RMS/zero-crossing features,
+and nearest-neighbor image resize (``resize_nearest``).  The Ray side —
+schema, batch sizing for large binary rows, actor signature, output
 layout — is real and tested (tests/test_multimodal.py).
 
 Scale notes: binary payloads make rows wide; the stage uses a small
@@ -165,6 +168,149 @@ def frame_sample_stage(ds: ray.data.Dataset, allow_fake: bool = False,
                        **kwargs) -> ray.data.Dataset:
     return ds.map_batches(
         FrameSampleStage,
+        fn_constructor_kwargs={"allow_fake": allow_fake, **kwargs},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def resize_nearest(pixels: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """REAL nearest-neighbor image resize (pure numpy index gather) — no
+    image library needed once pixels exist as an array.  ``pixels``:
+    (h, w[, c]) array; returns (th, tw[, c])."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    if h == 0 or w == 0:
+        return np.zeros((th, tw) + pixels.shape[2:], dtype=pixels.dtype)
+    ri = np.minimum((np.arange(th) * h) // th, h - 1)
+    ci = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return pixels[ri][:, ci]
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage: payload → fixed (th×tw) grayscale thumbnail
+    (flattened ``list<uint8>``).  The RESIZE kernel is real (numpy
+    nearest-neighbor); only the decode step shares ``ImageDecodeStage``'s
+    declared stub (``allow_fake=True`` derives a deterministic pseudo-image
+    by reshaping payload bytes into the fake decoder's width×height)."""
+
+    def __init__(self, th: int = 8, tw: int = 8, allow_fake: bool = False,
+                 binary_col: str = "payload", id_col: str = "doc_id"):
+        self.th, self.tw = th, tw
+        self.decoder = ImageDecodeStage(allow_fake=allow_fake,
+                                        binary_col=binary_col, id_col=id_col)
+        self.binary_col = binary_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.binary_col)
+        out = np.empty((t.num_rows, self.th * self.tw), dtype=np.uint8)
+        for i in range(t.num_rows):
+            payload = col[i].as_py() or b""
+            w, h, _ = self.decoder.decode_one(payload)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            px = np.resize(arr, (h, w))  # deterministic pseudo-image (stub)
+            out[i] = resize_nearest(px, self.th, self.tw).reshape(-1)
+        thumb = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.uint8()), self.th * self.tw)
+        return pa.table({self.id_col: t.column(self.id_col), "thumb": thumb})
+
+
+def image_resize_stage(ds: ray.data.Dataset, allow_fake: bool = False,
+                       concurrency=(1, 4), batch_size: int = 256,
+                       **kwargs) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"allow_fake": allow_fake, **kwargs},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/WAVE PCM16 decoder (pure numpy — WAV is a public container
+    format; no audio library needed).  Returns (sample_rate, mono float64
+    samples in [-1, 1]).  Raises ValueError on non-WAV / non-PCM16 input."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV is supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None or not n_ch:
+        raise ValueError("missing fmt/data chunk")
+    pcm = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+    if n_ch > 1:
+        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return sr, np.asarray(pcm, dtype=np.float64) / 32768.0
+
+
+class AudioFeatureStage:
+    """Actor-pool audio decode + feature extraction: WAV payloads decode for
+    REAL (``decode_wav``); per-window RMS energy and zero-crossing rate are
+    plain numpy.  Non-WAV codecs need libraries absent from this container:
+    those payloads raise ``NotImplementedError`` unless ``allow_fake=True``
+    (byte-statistics stand-in, same contract as the image stub).
+
+    Output: (id, sample_rate, n_samples, rms_mean, zcr_mean, n_windows)."""
+
+    def __init__(self, window: int = 1024, allow_fake: bool = False,
+                 binary_col: str = "payload", id_col: str = "doc_id"):
+        self.window = window
+        self.allow_fake = allow_fake
+        self.binary_col = binary_col
+        self.id_col = id_col
+
+    def features_one(self, payload: bytes) -> tuple[int, int, float, float, int]:
+        try:
+            sr, x = decode_wav(payload)
+        except ValueError:
+            if not self.allow_fake:
+                raise NotImplementedError(
+                    "non-WAV audio requires codec libraries not present in "
+                    "this environment; construct with allow_fake=True for "
+                    "the deterministic stand-in")
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            sr, x = 8000, (arr.astype(np.float64) - 127.5) / 127.5
+        n = len(x)
+        w = self.window
+        n_win = n // w
+        if n_win == 0:
+            return sr, n, 0.0, 0.0, 0
+        xw = x[: n_win * w].reshape(n_win, w)
+        rms = np.sqrt((xw * xw).mean(axis=1))
+        zcr = (np.diff(np.signbit(xw), axis=1) != 0).mean(axis=1)
+        return sr, n, float(rms.mean()), float(zcr.mean()), n_win
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.binary_col)
+        rows = [self.features_one(col[i].as_py() or b"")
+                for i in range(t.num_rows)]
+        sr, ns, rms, zcr, nw = map(np.array, zip(*rows)) if rows else \
+            (np.empty(0),) * 5
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "sample_rate": pa.array(np.asarray(sr, np.int64)),
+            "n_samples": pa.array(np.asarray(ns, np.int64)),
+            "rms_mean": pa.array(np.asarray(rms, np.float64)),
+            "zcr_mean": pa.array(np.asarray(zcr, np.float64)),
+            "n_windows": pa.array(np.asarray(nw, np.int64)),
+        })
+
+
+def audio_features_stage(ds: ray.data.Dataset, allow_fake: bool = False,
+                         concurrency=(1, 4), batch_size: int = 256,
+                         **kwargs) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeatureStage,
         fn_constructor_kwargs={"allow_fake": allow_fake, **kwargs},
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
