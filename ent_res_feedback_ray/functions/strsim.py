@@ -402,3 +402,34 @@ def lcp_batch_encoded(A: np.ndarray, la: np.ndarray,
     (0-padding never extends a prefix past min(la, lb))."""
     run = np.cumprod(A == B, axis=1).sum(axis=1)
     return np.minimum(run, np.minimum(la, lb)).astype(np.int64)
+
+
+def equal(a: str | None, b: str | None) -> float:
+    """Exact equality after lowercase+strip; NaN when either side is
+    empty/missing or a bare "-" placeholder (reference ``equal``,
+    /root/reference/s2and/text.py:478-508)."""
+    if not a or not b or a == "-" or b == "-":
+        return NAN
+    return 1.0 if a.lower().strip() == b.lower().strip() else 0.0
+
+
+def equal_middle(a: str | None, b: str | None) -> float:
+    """Middle-name equality: if either side is a single-char initial,
+    compare initials only; else exact (reference ``equal_middle``,
+    /root/reference/s2and/text.py:511-543)."""
+    if not a or not b:
+        return NAN
+    if len(a) == 1 or len(b) == 1:
+        return 1.0 if a[0] == b[0] else 0.0
+    return 1.0 if a == b else 0.0
+
+
+def equal_initial(a: str | None, b: str | None) -> float:
+    """First-character equality after lowercase+strip (reference
+    ``equal_initial``, /root/reference/s2and/text.py:546-573)."""
+    if not a or not b:
+        return NAN
+    sa, sb = a.strip().lower(), b.strip().lower()
+    if not sa or not sb:
+        return NAN
+    return 1.0 if sa[0] == sb[0] else 0.0

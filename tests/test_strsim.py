@@ -136,3 +136,25 @@ def test_metric_lcs():
         assert metric_lcs(a, b) == pytest.approx(expect, abs=1e-12), (a, b)
     assert math.isnan(metric_lcs("", "abc"))
     assert metric_lcs("abc", "abc") == 0.0
+
+
+def test_equal_family_reference_semantics():
+    import numpy as np
+
+    from ent_res_feedback_ray.functions.strsim import (equal, equal_initial,
+                                                       equal_middle)
+
+    assert equal(" Foo", "foo ") == 1.0
+    assert equal("foo", "bar") == 0.0
+    assert np.isnan(equal("", "x")) and np.isnan(equal("-", "x"))
+    assert np.isnan(equal(None, "x"))
+    # middle: initials shortcut both directions
+    assert equal_middle("j", "john") == 1.0
+    assert equal_middle("john", "j") == 1.0
+    assert equal_middle("john", "jane") == 0.0
+    assert equal_middle("john", "john") == 1.0
+    assert np.isnan(equal_middle("", "x"))
+    # initial
+    assert equal_initial(" Quark", "quasar") == 1.0
+    assert equal_initial("a", "b") == 0.0
+    assert np.isnan(equal_initial(None, "b"))
