@@ -373,3 +373,96 @@ def embedding_dup_pairs_ivf(sf_dir: str, threshold: float = 0.45,
     from .pairs import dedup_pairs
 
     return dedup_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level repeated-paragraph removal (exact-substring dedup at
+# paragraph granularity — the practical variant of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_para_len: int = 40,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Remove paragraphs repeated across the corpus, keeping exactly the
+    first occurrence (ordered by (doc_id, paragraph index)) — boilerplate
+    headers/footers/navigation chrome are the web-corpus target.
+
+    Distributed shape (no driver materialization, no all-pairs step):
+    1. explode docs → (doc_id, idx, hash64, para) rows — paragraphs under
+       ``min_para_len`` chars pass through unexamined (never duplicates
+       worth chasing, and skipping them bounds hash-table skew on "" / "-");
+    2. elect each hash's keeper with ONE hash-only bucketed shuffle over
+       (hash, doc_id, idx) — the text column stays out of this exchange;
+    3. join the keeper verdict back onto the paragraph rows (bucketed
+       cogroup on hash) and rebuild each doc with a bucketed group-apply on
+       doc_id (paragraphs reassemble in index order).
+
+    Output: (doc_id, text, n_paras, n_dropped) — ``text`` with repeated
+    paragraphs removed."""
+    from .shuffleops import bucketed_group_apply, join_on_key
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, paras = [], [], []
+        for d, t in zip(df[id_col], df[text_col]):
+            for i, p in enumerate((t or "").split("\n\n")):
+                ids.append(d)
+                idxs.append(i)
+                paras.append(p)
+        out = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                            "idx": np.asarray(idxs, np.int64),
+                            "para": paras})
+        plen = out["para"].str.len().to_numpy()
+        h = fnv1a64(out["para"]).astype(np.int64)
+        out["hash"] = np.where(plen >= min_para_len, h, np.int64(-1))
+        return out
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pandas")
+
+    # keeper election: hash-only partial → bucketed reduce (skip the -1
+    # short-paragraph sentinel; a hash seen once has no verdict row at all,
+    # so the verdict table is bounded by the number of DUPLICATED paragraphs)
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["hash"] != -1]
+        g = df.groupby("hash", as_index=False).agg(
+            n=("idx", "size"), kd=("doc_id", "min"))
+        first = df.sort_values(["doc_id", "idx"]).groupby(
+            "hash", as_index=False).head(1)
+        return g.merge(first[["hash", "doc_id", "idx"]], on="hash") \
+            .rename(columns={"doc_id": "kdoc", "idx": "kidx"}) \
+            .drop(columns=["kd"])
+
+    def _elect(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["hash", "kdoc", "kidx"], kind="mergesort")
+        agg = part.groupby("hash", as_index=False).agg(
+            n=("n", "sum"), kdoc=("kdoc", "first"), kidx=("kidx", "first"))
+        return agg[agg["n"] >= 2][["hash", "kdoc", "kidx"]]
+
+    verdict = bucketed_group_apply(
+        rows.select_columns(["doc_id", "idx", "hash"]).map_batches(
+            _partial, batch_format="pandas"),
+        "hash", _elect, num_buckets)
+
+    joined = join_on_key(rows, verdict.map_batches(
+        lambda df: df.assign(__dup=True), batch_format="pandas"),
+        "hash", num_buckets)
+
+    def _rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("idx", kind="mergesort")
+        dup = part["__dup"].fillna(False).to_numpy(bool)
+        keep = ~dup | ((part["kdoc"].to_numpy() == part["doc_id"].to_numpy())
+                       & (part["kidx"].to_numpy() == part["idx"].to_numpy()))
+        out = []
+        for doc, grp in part.assign(__keep=keep).groupby("doc_id", sort=True):
+            kept = grp.loc[grp["__keep"], "para"]
+            out.append((doc, "\n\n".join(kept), len(grp),
+                        int((~grp["__keep"]).sum())))
+        return pd.DataFrame(out, columns=["doc_id", "text", "n_paras",
+                                          "n_dropped"])
+
+    return bucketed_group_apply(joined, "doc_id", _rebuild, num_buckets)

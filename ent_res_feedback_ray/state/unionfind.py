@@ -196,17 +196,35 @@ def connected_components(
         src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
         dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
         _tick(f"edge_pull({n_edges})")
-        if nodes is not None:
-            extra = nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
-            all_nodes = np.unique(np.concatenate([src, dst, extra]))
-        else:
-            all_nodes = np.unique(np.concatenate([src, dst])) if len(src) else \
-                np.empty(0, np.int64)
-        _tick(f"node_pull({len(all_nodes)})")
-        node_arr, label_arr = unionfind_labels(src, dst, all_nodes)
-        _tick("unionfind")
-        df = pd.DataFrame({"node": node_arr, "label": label_arr})
-        out = ray.data.from_pandas(df)
-        _tick("from_pandas")
+        # union-find over EDGE ENDPOINTS only (bounded by 2×threshold) —
+        # the O(docs) node universe never reaches the driver: singletons
+        # keep label = own id, filled DISTRIBUTED by mapping the nodes
+        # dataset through the broadcast endpoint→label table.  (Callers pass
+        # nodes ⊇ endpoints — every edge comes from a pair of known docs.)
+        endpoints = (np.unique(np.concatenate([src, dst])) if len(src)
+                     else np.empty(0, np.int64))
+        node_arr, label_arr = unionfind_labels(src, dst, endpoints)
+        _tick(f"unionfind({len(endpoints)})")
+        if nodes is None:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": node_arr, "label": label_arr}))
+        import ray as _ray
+
+        from ..stages.shuffleops import _broadcast_get
+
+        map_ref = _ray.put((node_arr, label_arr))
+
+        def _fill(df: pd.DataFrame) -> pd.DataFrame:
+            na, la = _broadcast_get(map_ref)
+            nv = df["node"].to_numpy(np.int64)
+            if len(na):
+                pos = np.minimum(np.searchsorted(na, nv), len(na) - 1)
+                lab = np.where(na[pos] == nv, la[pos], nv)
+            else:
+                lab = nv
+            return pd.DataFrame({"node": nv, "label": lab})
+
+        out = nodes.map_batches(_fill, batch_format="pandas")
+        _tick("singleton_fill_launch")
         return out
     return connected_components_distributed(edges, nodes=nodes, max_rounds=max_rounds)
