@@ -35,3 +35,61 @@ def test_paragraph_dedup_keeps_first_occurrence():
     assert out.loc[2, "n_dropped"] == 0
     # paragraph counts
     assert out["n_paras"].tolist() == [2, 2, 2, 2]
+
+
+def test_paragraph_dedup_matches_duckdb_twin():
+    """Full SQL-twin parity for paragraph_dedup (window-function oracle:
+    first occurrence by (doc_id, idx) per repeated paragraph, short
+    paragraphs exempt) on a corpus with planted cross-doc boilerplate."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(7)
+    boiler = ["all rights reserved contact us about the team careers " * 2,
+              "cookie consent banner text that follows you everywhere " * 2]
+    rows = []
+    for d in range(40):
+        paras = [f"unique body paragraph {d} " + "x" * int(rng.integers(0, 60))]
+        if d % 3 == 0:
+            paras.append(boiler[0])
+        if d % 5 == 0:
+            paras.insert(0, boiler[1])
+        if d % 7 == 0:
+            paras.append("tiny")
+        rows.append((d, "\n\n".join(paras)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    out = paragraph_dedup(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    sql = """
+    WITH paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS para,
+             unnest(generate_series(1, len(string_split(text, chr(10) || chr(10))))) - 1 AS idx
+      FROM docs
+    ), marked AS (
+      SELECT *,
+        CASE WHEN len(para) >= 40
+             THEN row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+             ELSE 1 END AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                    FILTER (WHERE rn = 1), '') AS text,
+           count(*) AS n_paras,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+    ora = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.astype({"n_paras": "int64", "n_dropped": "int64"}),
+        ora.astype({"n_paras": "int64", "n_dropped": "int64"}))
+    assert (out["n_dropped"] > 0).any()
