@@ -407,15 +407,16 @@ def paragraph_dedup(
     from .shuffleops import bucketed_group_apply, join_on_key
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, idxs, paras = [], [], []
-        for d, t in zip(df[id_col], df[text_col]):
-            for i, p in enumerate((t or "").split("\n\n")):
-                ids.append(d)
-                idxs.append(i)
-                paras.append(p)
-        out = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
-                            "idx": np.asarray(idxs, np.int64),
-                            "para": paras})
+        lists = df[text_col].fillna("").str.split("\n\n")
+        counts = lists.str.len().to_numpy()
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df[id_col].to_numpy(np.int64), counts),
+            "idx": np.concatenate([np.arange(c, dtype=np.int64)
+                                   for c in counts]) if len(counts)
+            else np.empty(0, np.int64),
+            "para": np.concatenate(lists.to_numpy()) if len(counts)
+            else np.empty(0, object),
+        })
         plen = out["para"].str.len().to_numpy()
         h = fnv1a64(out["para"]).astype(np.int64)
         out["hash"] = np.where(plen >= min_para_len, h, np.int64(-1))
