@@ -82,39 +82,24 @@ def candidate_pairs_compact(sf_dir: str) -> ray.data.Dataset:
     return candidate_pairs(sf_dir).map_batches(_proj, batch_format="pyarrow")
 
 
-def token_df_dict(sf_dir: str) -> dict:
-    """Corpus token document-frequency table as a bounded driver dict
-    (tokens with DF ≥ 2 only — lossless for the shared-token pair features,
-    since a shared token is by definition in ≥ 2 docs).  Built with one
-    distributed partial-count + bucketed aggregate; broadcast via ray.put."""
-    from ..stages.shuffleops import bucketed_aggregate
+def corpus_token_df(sf_dir: str):
+    """Corpus token document-frequency table as a RANGE-SHARDED plasma side
+    input (tokens with DF ≥ 2 only — lossless for the shared-token pair
+    features, since a shared token is by definition in ≥ 2 docs).  The
+    vocabulary NEVER touches the driver: partial counts, the hash-range
+    exchange, and shard assembly all run inside Ray tasks; the driver holds
+    ObjectRefs only (round-3 verdict item #1)."""
+    from ..stages.tokendf import build_token_df
 
-    norm = pages_normalized(sf_dir).select_columns(["doc_id", "norm_text"])
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks, docs = [], []
-        for i, s in enumerate(df["norm_text"]):
-            if s:
-                for t in set(s.split()):
-                    toks.append(t)
-                    docs.append(i)
-        part = pd.DataFrame({"tok": toks})
-        return part.groupby("tok", as_index=False).agg(c=("tok", "size"))
-
-    df = bucketed_aggregate(
-        norm.map_batches(_partial, batch_format="pandas"), "tok",
-        c=("c", "sum")).to_pandas()
-    df = df[df["c"] >= 2]
-    return dict(zip(df["tok"], df["c"].astype(int)))
+    return build_token_df(
+        pages_normalized(sf_dir).select_columns(["norm_text"]))
 
 
 def pair_features(sf_dir: str) -> ray.data.Dataset:
-    import ray as _ray
-
     from ..stages.features import FEATURE_COLS
 
-    tdf_ref = _ray.put(token_df_dict(sf_dir))
-    feats = featurize_stage(candidate_pairs(sf_dir), token_df_ref=tdf_ref)
+    feats = featurize_stage(candidate_pairs(sf_dir),
+                            token_df_ref=corpus_token_df(sf_dir))
 
     def _proj(b: pa.Table) -> pa.Table:
         return b.select(["block_key", "id1", "id2", *FEATURE_COLS])
@@ -529,6 +514,7 @@ def resolve_pages(
     dedup: bool = False,
     broadcast_doc_limit: int = 2_000_000,
     keep_features: bool = True,
+    with_df: bool = False,
 ) -> dict:
     """Full ER stage graph over a pages Dataset with ``url`` (and optionally
     ``doc_id``) columns.  Returns dict of Datasets:
@@ -536,6 +522,13 @@ def resolve_pages(
     (doc_id, url? via id_map, cluster_id), ``id_map`` (doc_id, url),
     ``counters`` (per-block lineage: pairs_generated, pairs_scored,
     edges_kept — north-rule counters).
+
+    ``with_df=True`` additionally builds the range-sharded corpus token-DF
+    side input (stages/tokendf.py) and feeds it to WHICHEVER featurizer
+    path runs, so df_min_shared/df_max_shared are real values (identical
+    between the twins) instead of NaN.  Off by default: the linear score
+    does not consume the DF features, and the extra corpus pass costs
+    bench time on the score-only e2e path.
     """
     from ..stages.blocking import minhash_stage, band_explode_stage
     from ..stages.pairs import dedup_pairs
@@ -659,6 +652,12 @@ def resolve_pages(
     # blocking→scoring→clustering run saves ~80B/pair of object-store bytes)
     keep = ["block_key", "id1", "id2", "pairs_possible",
             *(FEATURE_COLS if keep_features else []), "score", "constraint"]
+    tdf = None
+    if with_df:
+        from ..stages.tokendf import build_token_df
+
+        tdf = build_token_df(norm.select_columns(["norm_text"]))
+        _tick("token_df")
     n_docs = norm.count()
     _tick("count")
     if n_docs <= broadcast_doc_limit:
@@ -678,6 +677,7 @@ def resolve_pages(
         fb = int(np.clip(n_docs // 2, 2048, 16384))
         scored = featurize_and_score_fast(pairs, sig_ref, seeds=seeds,
                                           alias_pairs=alias_pairs,
+                                          token_df_ref=tdf,
                                           batch_size=fb)
         if model is not None:
             scored = trained_scoring_stage(
@@ -696,7 +696,7 @@ def resolve_pages(
         wide = attach_attrs(
             pairs, norm.select_columns(["doc_id", *attr_cols]),
             id_col="doc_id", attr_cols=attr_cols)
-        feats = featurize_stage(wide)
+        feats = featurize_stage(wide, token_df_ref=tdf)
         if model is None:
             scored = linear_scoring_stage(feats)
         else:

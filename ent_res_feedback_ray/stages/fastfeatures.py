@@ -512,6 +512,18 @@ def batch_pair_shingle_jaccard(texts1, texts2, n: int = 3) -> np.ndarray:
 
 
 _MERGED_CACHE: dict = {}
+_MERGED_CACHE_SLOTS = 4
+"""Small LRU: a worker interleaving batches from two concurrent featurize
+stages (two corpora / two handles) must not rebuild the up-to-256MB merged
+table on every batch — clear-then-insert did exactly that (round-3 ADVICE).
+dict preserves insertion order; eviction pops the oldest key."""
+
+
+def _merged_cache_put(key, value):
+    while len(_MERGED_CACHE) >= _MERGED_CACHE_SLOTS:
+        _MERGED_CACHE.pop(next(iter(_MERGED_CACHE)))
+    _MERGED_CACHE[key] = value
+    return value
 _MERGED_LIMIT_BYTES = 256 << 20
 """Per-worker cap on the merged-signature private copy.  Below the cap a
 worker concatenates all plasma shards ONCE and every featurize batch indexes
@@ -522,19 +534,20 @@ batch-local gather (bounded memory, zero-copy plasma views)."""
 
 def _merged_signatures(handle: ShardedSignatures, shards: list):
     """(merged DocSignatures with GLOBAL rows, rowmap aligned to
-    handle.route_ids) — cached per worker process, one entry at a time.
-    Returns None when the table exceeds ``_MERGED_LIMIT_BYTES``."""
+    handle.route_ids) — cached per worker process in a small LRU keyed by
+    handle identity.  Returns None when the table exceeds
+    ``_MERGED_LIMIT_BYTES``."""
     key = ((handle.refs[0].hex(), len(handle.refs))
            if handle.refs else ("empty", 0))
     if key in _MERGED_CACHE:
-        return _MERGED_CACHE[key]
+        # refresh LRU recency (dict preserves insertion order)
+        return _MERGED_CACHE[key] if key == next(reversed(_MERGED_CACHE)) \
+            else _merged_cache_put(key, _MERGED_CACHE.pop(key))
     nbytes = sum(sd.tok_flat.nbytes + sd.shg_flat.nbytes + sd.ch3_flat.nbytes
                  + sd.prefix.nbytes + sd.ftok.nbytes + sd.ids.nbytes * 6
                  for sd in shards)
     if nbytes > _MERGED_LIMIT_BYTES:
-        _MERGED_CACHE.clear()
-        _MERGED_CACHE[key] = None
-        return None
+        return _merged_cache_put(key, None)
     base_rows = np.cumsum([0] + [len(sd.ids) for sd in shards])[:-1]
     rowmap = base_rows[handle.route_shard] + handle.route_local
 
@@ -568,9 +581,7 @@ def _merged_signatures(handle: ShardedSignatures, shards: list):
         text_md5=cat("text_md5"),
         ts_us=cat("ts_us") if handle.have_ts else None,
     )
-    _MERGED_CACHE.clear()
-    _MERGED_CACHE[key] = (sig, rowmap)
-    return _MERGED_CACHE[key]
+    return _merged_cache_put(key, (sig, rowmap))
 
 
 def _local_signatures(handle: ShardedSignatures, shards: list,
@@ -637,8 +648,9 @@ def featurize_and_score_fast(
     lang_rule: bool = True,
     exact_text_rule: bool = True,
     alias_pairs=None,
-    # ObjectRef of (sorted int64 token-hash keys, int64 doc-frequency
-    # counts) for the corpus-DF pair features; None → NaN columns
+    # corpus-DF side input for the df_min/max_shared pair features:
+    # tokendf.ShardedTokenDF handle (production) or an ObjectRef of a
+    # single (sorted int64 keys, int64 counts) tuple; None → NaN columns
     token_df_ref=None,
     # 4096 pairs/batch balances per-batch fixed work (shard-local gathers)
     # against per-worker arena footprint (~20 MB, faulted once per worker —
@@ -746,27 +758,23 @@ def featurize_and_score_fast(
             td_u = np.full(len(u1), np.nan)
 
         # corpus-DF features: min/max document frequency over the SHARED
-        # tokens (reference name_counts analog — see features.FEATURE_GROUPS)
-        tdf = (_broadcast_get(token_df_ref)
-               if token_df_ref is not None else None)
-        if tdf is None:
+        # tokens (reference name_counts analog — see features.FEATURE_GROUPS).
+        # The side input is the ONE unified format (tokendf.ShardedTokenDF /
+        # legacy (keys, counts) tuple ref) shared with the string path.
+        from .tokendf import resolve_view
+
+        view = resolve_view(token_df_ref)
+        if view is None:
             dmn_u = np.full(len(u1), np.nan)
             dmx_u = dmn_u
         else:
-            df_keys, df_counts = tdf
             m_u = len(u1)
             # matched (pair, value) stream over the token bag — dup slices
-            # repeat a value within a pair, which min/max ignores
+            # repeat a value within a pair, which min/max ignores.  A miss
+            # returns 1 ("rarer than the table" — see TokenDFView)
             _, (mpair, mvals) = pair_bag_stats(
                 sig.tok_flat, sig.tok_off, u1, u2, return_matched=True)
-            pos = np.searchsorted(df_keys, mvals)
-            pos_c = np.minimum(pos, max(len(df_keys) - 1, 0))
-            found = (df_keys[pos_c] == mvals) if len(df_keys) else \
-                np.zeros(len(mvals), bool)
-            # a shared token always has corpus DF ≥ 2; a miss means the DF
-            # table was truncated — default 1 marks "rarer than the table"
-            dfv = np.where(found, df_counts[pos_c] if len(df_keys) else 1,
-                           1).astype(np.float64)
+            dfv = view.lookup_hashes(mvals)
             lo = np.full(m_u, np.inf)
             hi = np.full(m_u, -np.inf)
             np.minimum.at(lo, mpair, dfv)

@@ -279,15 +279,31 @@ def featurize_pairs_batch(batch: pa.Table, norm1: str = "norm_text1",
             cols["df_min_shared"] = nancol
             cols["df_max_shared"] = nancol.copy()
         else:
+            from itertools import chain as _chain
+
+            from .tokendf import TokenDFView
+
             uniq_toks_df = [_token_set(u) for u in uniques]
+            shared_lists = [sorted(uniq_toks_df[i] & uniq_toks_df[j])
+                            for i, j in zip(up1, up2)]
+            lens = np.fromiter((len(s) for s in shared_lists), np.int64,
+                               count=len(shared_lists))
+            flat = list(_chain.from_iterable(shared_lists))
+            if isinstance(token_df, TokenDFView):
+                vals = token_df.lookup_tokens(flat)
+            elif flat:
+                vals = np.array([token_df.get(t, 1) for t in flat],
+                                np.float64)
+            else:
+                vals = np.empty(0, np.float64)
             mn = np.full(len(up1), np.nan)
             mx = np.full(len(up1), np.nan)
-            for k, (i, j) in enumerate(zip(up1, up2)):
-                shared = uniq_toks_df[i] & uniq_toks_df[j]
-                if shared:
-                    dfs = [token_df.get(t, 1) for t in shared]
-                    mn[k] = float(min(dfs))
-                    mx[k] = float(max(dfs))
+            has = lens > 0
+            starts = np.concatenate(
+                [[0], np.cumsum(lens)])[:-1][has].astype(np.int64)
+            if len(starts):
+                mn[has] = np.minimum.reduceat(vals, starts)
+                mx[has] = np.maximum.reduceat(vals, starts)
             cols["df_min_shared"] = scatter(mn)
             cols["df_max_shared"] = scatter(mx)
     if "ts_diff_days" in want:
@@ -314,16 +330,23 @@ def featurize_stage(ds: ray.data.Dataset,
                     features: list[str] | None = None,
                     token_df_ref=None,
                     **kwargs) -> ray.data.Dataset:
-    """``token_df_ref``: ObjectRef of a {token: document_frequency} dict —
-    broadcast once (ray.put), fetched zero-copy per worker; enables the
-    corpus-DF pair features."""
+    """``token_df_ref``: the corpus-DF side input enabling the corpus-DF
+    pair features — a :class:`~.tokendf.ShardedTokenDF` handle (the
+    production format: range-sharded plasma arrays, never a driver dict),
+    or for tests a plain/ObjectRef'd ``{token: df}`` dict."""
 
     def _feat(b: pa.Table) -> pa.Table:
         tdf = None
         if token_df_ref is not None:
-            from .shuffleops import _broadcast_get
+            import ray as _ray
 
-            tdf = _broadcast_get(token_df_ref)
+            from .shuffleops import _broadcast_get
+            from .tokendf import resolve_view
+
+            obj = token_df_ref
+            if isinstance(obj, _ray.ObjectRef):
+                obj = _broadcast_get(obj)
+            tdf = obj if isinstance(obj, dict) else resolve_view(obj)
         return featurize_pairs_batch(b, features=features, token_df=tdf,
                                      **kwargs)
 

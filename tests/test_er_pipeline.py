@@ -124,3 +124,23 @@ def test_dimension_scale_path_matches_fast_path(synth_pages):
     sb = (joiny["scored"].to_pandas()[cols].drop_duplicates(["id1", "id2"])
           .sort_values(["id1", "id2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(sa, sb)
+
+
+def test_with_df_both_paths_emit_real_df_features(synth_pages):
+    """with_df=True feeds the range-sharded corpus token-DF to WHICHEVER
+    featurizer path runs: df_min/max_shared are finite (not silently NaN)
+    and bit-identical between the fast path and the join path."""
+    pages_path, _ = synth_pages
+    cols = ["id1", "id2", "df_min_shared", "df_max_shared"]
+    outs = []
+    for limit in (2_000_000, 0):  # fast path, then forced join path
+        pages = ray.data.read_parquet(pages_path)
+        r = resolve_pages(pages, use_key_blocks=False, use_lsh=True,
+                          broadcast_doc_limit=limit, with_df=True)
+        outs.append(r["scored"].to_pandas()[cols]
+                    .drop_duplicates(["id1", "id2"])
+                    .sort_values(["id1", "id2"]).reset_index(drop=True))
+    fast, joiny = outs
+    assert fast["df_min_shared"].notna().any()
+    assert (fast["df_min_shared"].dropna() >= 2).all()  # shared => DF >= 2
+    pd.testing.assert_frame_equal(fast, joiny)
