@@ -180,6 +180,21 @@ def uncertain_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     return out.select_columns(["id1", "id2", "score", "uncertainty"])
 
 
+def _content_tag(sf_dir: str) -> str:
+    """Input-content fingerprint (path + package version + documents.parquet
+    size/mtime): regenerating the parquet at ``sf_dir`` invalidates every
+    /tmp cache keyed by this tag."""
+    import hashlib as _hl
+    import os as _os
+
+    from .. import __version__
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    return _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|{__version__}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:10]
+
+
 def _gold_assignments(sf_dir: str, max_gold_pairs: int = 50_000_000) -> ray.data.Dataset:
     """Brute-force 'gold': connected components of the exact shingle-Jaccard
     ≥ 0.5 graph over ALL pairs (no blocking) — the oracle the blocked
@@ -187,7 +202,29 @@ def _gold_assignments(sf_dir: str, max_gold_pairs: int = 50_000_000) -> ray.data
 
     Fails LOUDLY when n·(n−1)/2 exceeds ``max_gold_pairs`` instead of letting
     ``emit_block_pairs`` silently switch to windowing — a windowed "gold"
-    would under-count edges and corrupt every metric derived from it."""
+    would under-count edges and corrupt every metric derived from it.
+
+    CACHED across queries by input-content fingerprint (round-3 verdict #5):
+    ``er_quality`` / ``er_claims_eval`` / ``er_facet_eval`` /
+    ``er_b3_blocks_vs_lang`` / ``er_feedback_metrics`` all consume gold — a
+    driver correctness run pays the O(n²) build ONCE, then reads the
+    (node, label) parquet checkpoint."""
+    import os as _os
+
+    from ..state.checkpoint import is_complete, write_checkpoint
+
+    cache = f"/tmp/erf_gold_{_content_tag(sf_dir)}"
+    if is_complete(cache):
+        return ray.data.read_parquet(cache, file_extensions=["parquet"])
+    out = _gold_assignments_uncached(sf_dir, max_gold_pairs)
+    write_checkpoint(out, cache)
+    print(f"GOLD computed once and checkpointed at {cache}", flush=True)
+    return ray.data.read_parquet(cache, file_extensions=["parquet"])
+
+
+def _gold_assignments_uncached(sf_dir: str,
+                               max_gold_pairs: int = 50_000_000
+                               ) -> ray.data.Dataset:
     ds = pages_normalized(sf_dir).select_columns(["doc_id", "norm_text", "lang"])
     n = ds.count()
     possible = n * (n - 1) // 2
@@ -1359,25 +1396,49 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
     from ..stages.clustering import incremental_assign
 
     scored = scored_pairs(sf_dir).materialize()
-    ids = all_doc_ids(sf_dir).to_pandas()
-    n = len(ids)
-    cut = ids["node"].sort_values().iloc[int(n * (1 - new_fraction))]
-    old_ids = ids[ids["node"] < cut]
-    new_ids = ids[ids["node"] >= cut]
+    ids = all_doc_ids(sf_dir)
+    n = ids.count()
+    k = int(n * (1 - new_fraction))
+    # exact order-statistic cutoff via sort → limit(k) → Max AGGREGATE —
+    # only the scalar reaches the driver, never the id list (same shape as
+    # time_split; round-3 verdict #3).  cut = largest OLD doc id.
+    cut = ids.sort("node").limit(k).max("node") if k >= 1 else None
+
+    def _split_ids(keep_old: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            node = t.column("node")
+            if cut is None:
+                mask = pa.array(np.zeros(len(node), bool)) if keep_old \
+                    else pa.array(np.ones(len(node), bool))
+            else:
+                mask = (pc.less_equal(node, pa.scalar(cut)) if keep_old
+                        else pc.greater(node, pa.scalar(cut)))
+            return t.filter(mask)
+        return _f
+
+    old_ids = ids.map_batches(_split_ids(True), batch_format="pyarrow")
+    # the new-id list is pulled bounded by new_fraction (the incremental
+    # contract hands new mentions to the driver-side assign API)
+    new_ids = ids.map_batches(_split_ids(False),
+                              batch_format="pyarrow").to_pandas()
 
     def _old_only(df: pd.DataFrame) -> pd.DataFrame:
-        return df[(df["id1"] < cut) & (df["id2"] < cut)]
+        if cut is None:
+            return df.iloc[0:0]
+        return df[(df["id1"] <= cut) & (df["id2"] <= cut)]
 
     old_scored = scored.map_batches(_old_only, batch_format="pandas")
     # the frozen base assignment stays a DATASET end-to-end: the broadcast
     # label map assembles inside a Ray task from its block refs
     base = transitive_clustering(
-        old_scored,
-        all_ids=ray.data.from_pandas(old_ids.reset_index(drop=True)),
-        threshold=SCORE_THRESHOLD)
+        old_scored, all_ids=old_ids, threshold=SCORE_THRESHOLD)
 
     def _new_side(df: pd.DataFrame) -> pd.DataFrame:
-        return df[(df["id1"] >= cut) | (df["id2"] >= cut)]
+        if cut is None:
+            return df
+        return df[(df["id1"] > cut) | (df["id2"] > cut)]
 
     new_scored = scored.map_batches(_new_side, batch_format="pandas")
     combined = incremental_assign(new_scored, base, new_ids,
@@ -1396,21 +1457,13 @@ def feedback_metrics(sf_dir: str, n_rounds: int = 3, k_per_round: int = 100) -> 
     gold/pred cluster diff each round.  Returns per-round metrics
     (round, n_labels, n_seeds, pair_f1, b3_f1).  Deterministic; checkpoints
     live under /tmp keyed by input-content fingerprint, so re-runs resume."""
-    import hashlib as _hl
     import os as _os
 
     from .feedback import run_feedback_rounds
 
-    from .. import __version__
-
-    # content fingerprint: path + package version + source file size/mtime —
+    # content fingerprint (shared with the _gold_assignments cache) —
     # regenerating the parquet at sf_dir invalidates cached pages/gold/rounds
-    doc_path = _os.path.join(sf_dir, "documents.parquet")
-    st = _os.stat(doc_path)
-    tag = _hl.md5(
-        f"{_os.path.abspath(sf_dir)}|{__version__}|{st.st_size}|{st.st_mtime_ns}"
-        .encode()).hexdigest()[:10]
-    work = f"/tmp/erf_feedback_{tag}"
+    work = f"/tmp/erf_feedback_{_content_tag(sf_dir)}"
     _os.makedirs(work, exist_ok=True)
     pages_path = _os.path.join(work, "pages_pq")
     gold_path = _os.path.join(work, "gold_pq")

@@ -136,36 +136,65 @@ def compile_to_seeds(scored: ray.data.Dataset,
         cl = a2c.get(c.anchor)
         if cl is None:
             continue
-        # qualifying docs (feature holders) — bounded pull of ids only
-        qual = feats.map_batches(
-            lambda df, k=c.kind, v=c.value: df.loc[df[k] == v, ["doc_id"]],
-            batch_format="pandas")
-        qual_ids = set(qual.to_pandas()["doc_id"].astype(int))
-        if not qual_ids:
-            continue
+        # member ids: bounded pull (one cluster's size)
         member_ids = set(assignments.map_batches(
             lambda df, l=cl: df.loc[df["label"] == l, ["node"]],
             batch_format="pandas").to_pandas()["node"].astype(int))
-        qref, mref = ray.put(qual_ids), ray.put(member_ids)
+        mref = ray.put(member_ids)
 
-        def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        def _cand(t: "pa.Table") -> "pa.Table":
+            # scored candidates with EXACTLY one member side; the other
+            # side's feature qualification is resolved by the dataflow
+            # join below — the qualifying-id set (e.g. lang="en": half
+            # the corpus) NEVER reaches the driver (round-3 verdict #2).
+            # Explicitly-typed Arrow output so EMPTY batches keep the
+            # join-key schema stable.
+            import pyarrow as pa
+
             from ..stages.shuffleops import _broadcast_get
 
-            q, m = _broadcast_get(qref), _broadcast_get(mref)
-            in1m = df["id1"].isin(m).to_numpy()
-            in2m = df["id2"].isin(m).to_numpy()
-            in1q = df["id1"].isin(q).to_numpy()
-            in2q = df["id2"].isin(q).to_numpy()
-            keep = (in1m & in2q & ~in2m) | (in2m & in1q & ~in1m)
-            return df.loc[keep, ["id1", "id2", "score"]]
+            m = np.fromiter(_broadcast_get(mref), np.int64)
+            id1 = t.column("id1").to_numpy(zero_copy_only=False)
+            id2 = t.column("id2").to_numpy(zero_copy_only=False)
+            in1m = np.isin(id1, m)
+            in2m = np.isin(id2, m)
+            keep = in1m ^ in2m
+            sc = t.column("score").to_numpy(zero_copy_only=False)[keep]
+            i1, i2 = id1[keep], id2[keep]
+            other = np.where(in1m[keep], i2, i1)
+            return pa.table({
+                "id1": pa.array(i1, pa.int64()),
+                "id2": pa.array(i2, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+                "other": pa.array(other.astype(np.int64), pa.int64()),
+            })
 
-        best = (scored.map_batches(_cand, batch_format="pandas")
+        def _qual(t: "pa.Table", k=c.kind, v=c.value) -> "pa.Table":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            sel = pc.equal(t.column(k), pa.scalar(v))
+            ids = t.filter(pc.fill_null(sel, False)).column("doc_id")
+            return pa.table({"other": ids.cast(pa.int64())})
+
+        from ..stages.shuffleops import join_on_key
+
+        cand = scored.map_batches(_cand, batch_format="pyarrow")
+        qual = feats.map_batches(_qual, batch_format="pyarrow")
+        # bucketed cogroup SEMI-join (qual doc ids are unique, so inner ==
+        # semi); robust to empty partitions, unlike the Arrow hash join
+        best = (join_on_key(cand, qual, "other", num_buckets=8, how="inner")
                 .sort(["score", "id1", "id2"],
                       descending=[True, False, False]).limit(1).to_pandas())
         if len(best):
             a, b = int(best["id1"].iloc[0]), int(best["id2"].iloc[0])
         else:
-            a, b = sorted((int(c.anchor), int(min(qual_ids))))
+            # no scored candidate: pair the anchor with the minimum-id
+            # qualifying doc (global top-1 in the dataflow, scalar pull)
+            minq = qual.sort("other").limit(1).to_pandas()
+            if not len(minq):
+                continue
+            a, b = sorted((int(c.anchor), int(minq["other"].iloc[0])))
         seeds[(min(a, b), max(a, b))] = "require"
     return seeds
 
