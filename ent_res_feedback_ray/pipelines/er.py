@@ -1277,18 +1277,23 @@ def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
 
 
 def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
-    """Per-block HAC cut AND correlation-clustering inference side by side
-    (rows-only; one driver row covers both clustering operators inside the
-    50-query window).  CC = the reference's SDP-relax + HAC-max-agree-cut
-    stack (/root/reference/e2e_pipeline/cc_inference.py:15-48), numpy
-    re-expression in stages/correlation.py.  Columns: (id, cluster_id,
-    cc_cluster_id); docs with no scored pair are their own CC cluster, same
-    as their HAC singleton label."""
+    """Per-block HAC cut, correlation-clustering inference AND the
+    five-tree trellis DAG cut side by side (rows-only; one driver row
+    covers all three clustering operators inside the 50-query window).
+    CC = the reference's SDP-relax + HAC-max-agree-cut stack
+    (/root/reference/e2e_pipeline/cc_inference.py:15-48); trellis = the
+    reference's multi-linkage trellis DP cut
+    (/root/reference/ecc/trellis.py:124-171), both numpy re-expressions in
+    stages/correlation.py sharing one SDP solve per block.  Columns:
+    (id, cluster_id, cc_cluster_id, trellis_cluster_id); docs with no
+    scored pair are their own CC/trellis cluster, same as their HAC
+    singleton label."""
     from ..stages.correlation import cc_block_clustering
     from ..stages.shuffleops import join_on_key
 
     hac = hac_clusters(sf_dir, eps=eps)
-    cc = cc_block_clustering(scored_pairs(sf_dir)).map_batches(
+    cc = cc_block_clustering(
+        scored_pairs(sf_dir), include_trellis=True).map_batches(
         lambda df: df.rename(columns={"cluster_id": "cc_cluster_id"}),
         batch_format="pandas")
     joined = join_on_key(hac, cc, "id")
@@ -1296,6 +1301,8 @@ def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["cc_cluster_id"] = df["cc_cluster_id"].fillna(df["cluster_id"])
+        df["trellis_cluster_id"] = \
+            df["trellis_cluster_id"].fillna(df["cluster_id"])
         return df
 
     return joined.map_batches(_fill, batch_format="pandas").sort("id")

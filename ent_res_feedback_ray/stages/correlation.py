@@ -158,40 +158,172 @@ def hac_cut(X: np.ndarray, W: np.ndarray,
     return labels, obj_ma
 
 
+def linkage_tree_merges(D: np.ndarray, linkage: str = "average",
+                        ) -> list[tuple[tuple, tuple, tuple]]:
+    """Full agglomeration over dissimilarity ``D`` → the tree's merge list
+    ``[(lchild_leaves, rchild_leaves, merged_leaves), …]`` (leaves as sorted
+    int tuples), one entry per internal node, bottom-up.
+
+    Linkages mirror the reference trellis's five trees
+    (/root/reference/ecc/trellis.py:136-146): ``average`` / ``single`` /
+    ``complete`` (Lance–Williams updates) and ``exp-`` / ``exp+`` —
+    exponential linkage with α = ∓1 (Yadav et al. 2019), computed from the
+    additive accumulators E = Σ exp(α·d), ED = Σ d·exp(α·d) over cross
+    pairs so every update stays O(n)."""
+    n = D.shape[0]
+    if n <= 1:
+        return []
+    D = D.astype(np.float64, copy=True)
+    np.fill_diagonal(D, np.inf)
+    alpha = {"exp-": -1.0, "exp+": 1.0}.get(linkage)
+    if linkage == "average":
+        acc = D.copy()                      # cross-distance SUMS
+    elif alpha is not None:
+        with np.errstate(over="ignore", invalid="ignore"):
+            E = np.exp(alpha * D)           # Σ exp(α d); inf diag → handled
+            ED = D * E
+        np.fill_diagonal(E, 0.0)
+        np.fill_diagonal(ED, 0.0)
+        E[~np.isfinite(E)] = 0.0
+        ED[~np.isfinite(ED)] = 0.0
+    active = np.ones(n, dtype=bool)
+    size = np.ones(n, dtype=np.int64)
+    members: list[tuple] = [(i,) for i in range(n)]
+    merges: list[tuple[tuple, tuple, tuple]] = []
+    cur = D.copy()                          # current linkage distances
+    for _ in range(n - 1):
+        masked = np.where(active[:, None] & active[None, :], cur, np.inf)
+        idx = int(np.argmin(masked))
+        i, j = divmod(idx, n)
+        if i > j:
+            i, j = j, i
+        li, lj = members[i], members[j]
+        merged = tuple(sorted(li + lj))
+        merges.append((li, lj, merged))
+        if linkage == "single":
+            cur[i] = np.minimum(cur[i], cur[j])
+        elif linkage == "complete":
+            cur[i] = np.maximum(cur[i], cur[j])
+        elif linkage == "average":
+            acc[i] += acc[j]
+            acc[:, i] = acc[i]
+            with np.errstate(invalid="ignore"):
+                cur[i] = acc[i] / ((size[i] + size[j]) * size)
+        else:                               # exponential linkage
+            E[i] += E[j]
+            ED[i] += ED[j]
+            E[:, i] = E[i]
+            ED[:, i] = ED[i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cur[i] = np.where(E[i] > 0, ED[i] / E[i], np.inf)
+        cur[:, i] = cur[i]
+        cur[i, i] = np.inf
+        active[j] = False
+        size[i] += size[j]
+        members[i] = merged
+        members[j] = ()
+    return merges
+
+
+def build_trellis(trees: list[list[tuple]], n: int) -> dict:
+    """Union candidate clusters from several agglomeration trees into one
+    DAG (reference ``build_trellis_from_trees``,
+    /root/reference/ecc/trellis.py:39-122): node key = sorted leaf tuple,
+    value = the set of (lchild_key, rchild_key) splits observed in ANY
+    tree.  Singletons are the DAG's leaves."""
+    nodes: dict[tuple, set] = {(i,): set() for i in range(n)}
+    for merges in trees:
+        for lk, rk, mk in merges:
+            pair = (lk, rk) if lk <= rk else (rk, lk)
+            nodes.setdefault(mk, set()).add(pair)
+            nodes.setdefault(lk, set())
+            nodes.setdefault(rk, set())
+    return nodes
+
+
+def cut_trellis(nodes: dict, W: np.ndarray) -> tuple[np.ndarray, float]:
+    """DP over the trellis DAG maximizing intra-cluster (signed) energy —
+    the reference ``cut_trellis`` (/root/reference/utils/
+    trellis_helper_fns.py:12-57): bottom-up in topological (cluster-size)
+    order, a node keeps its leaves as ONE cluster unless some observed
+    child split's combined energy is strictly better; because a node's
+    splits come from every tree, the cut can mix subtrees across trees and
+    strictly beat each single tree's best.  Returns (labels aligned with
+    leaf index 0..n−1, DP energy of the root)."""
+    n = W.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), 0.0
+    Wsym = W + W.T
+    obj: dict[tuple, float] = {}
+    memb: dict[tuple, np.ndarray] = {}      # labels aligned with the key
+    root = None
+    for key in sorted(nodes, key=lambda k: (len(k), k)):
+        leaves = np.fromiter(key, np.int64, count=len(key))
+        best = float(Wsym[np.ix_(leaves, leaves)].sum()) / 2.0
+        labels = np.zeros(len(key), dtype=np.int64)
+        for lk, rk in nodes[key]:
+            cand = obj[lk] + obj[rk]
+            if cand > best:                 # strict: ties prefer merged
+                best = cand
+                lab = np.empty(len(key), dtype=np.int64)
+                lpos = np.searchsorted(leaves, np.fromiter(lk, np.int64))
+                rpos = np.searchsorted(leaves, np.fromiter(rk, np.int64))
+                lm = memb[lk]
+                lab[lpos] = lm
+                lab[rpos] = memb[rk] + (lm.max() + 1 if len(lm) else 0)
+                labels = lab
+        obj[key] = best
+        memb[key] = labels
+        if len(key) == n:
+            root = key
+    assert root is not None, "trellis has no root (trees disagree on n)"
+    # deterministic relabel: clusters ordered by smallest member index
+    _, out = np.unique(memb[root], return_inverse=True)
+    return out.astype(np.int64), float(obj[root])
+
+
+def trellis_energy(labels: np.ndarray, W: np.ndarray) -> float:
+    """Signed intra-cluster energy of a flat clustering — the objective the
+    trellis DP maximizes (reference ``get_intra_cluster_energy``,
+    /root/reference/utils/trellis_helper_fns.py:76-81)."""
+    same = labels[:, None] == labels[None, :]
+    return float((W * np.triu(same, k=1)).sum())
+
+
 def trellis_cut(X: np.ndarray, W: np.ndarray,
-                linkages: tuple[str, ...] = ("average", "single", "complete"),
+                linkages: tuple[str, ...] = ("average", "single", "complete",
+                                             "exp-", "exp+"),
                 ) -> tuple[np.ndarray, float]:
-    """Trellis-cut analog (reference ``TrellisCutLayer`` +
-    ``build_trellis``/``cut_trellis``,
-    /root/reference/e2e_pipeline/trellis_cut_layer.py:15-26,
-    /root/reference/utils/trellis_helper_fns.py:6-57): the reference cuts a
-    trellis — a DAG unioning candidate clusters from several agglomeration
-    runs — maximizing intra-cluster energy over every clustering the DAG
-    encodes.  This analog cuts each linkage's tree with the same max-agree
-    rule and returns the best flat clustering found; a strict trellis can
-    mix subtrees across runs and so can only do better — this is the
-    documented lower bound, exact whenever one tree contains the optimum
-    (always true for the single-tree trellis the reference defaults to,
-    ``only_avg_hac=True``)."""
-    best_labels, best_obj = None, -np.inf
-    for lk in linkages:
-        labels, obj = hac_cut(X, W, linkage=lk)
-        if obj > best_obj:
-            best_labels, best_obj = labels, obj
-    return best_labels, float(best_obj)
+    """True trellis cut (reference ``TrellisCutLayer`` + ``Trellis.fit`` +
+    ``cut_trellis``, /root/reference/e2e_pipeline/trellis_cut_layer.py:15-26,
+    /root/reference/ecc/trellis.py:124-171,
+    /root/reference/utils/trellis_helper_fns.py:6-99): build the five
+    linkage trees over dissimilarity 1−X, union their candidate clusters
+    into one DAG, and DP-cut the DAG maximizing intra-cluster signed
+    energy.  The cut can mix subtrees across trees, so its energy dominates
+    every single tree's max-agree cut.  Returns (labels, max-agree
+    objective of the cut — same reporting convention as :func:`hac_cut`)."""
+    n = X.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), 0.0
+    if n == 1:
+        return np.zeros(1, dtype=np.int64), 0.0
+    d = 1.0 - X.astype(np.float64)
+    trees = [linkage_tree_merges(d, lk) for lk in linkages]
+    labels, _ = cut_trellis(build_trellis(trees, n), W)
+    same = labels[:, None] == labels[None, :]
+    rounded = W * np.triu(same, k=1)
+    obj_ma = float(rounded.sum() - rounded[rounded < 0].sum())
+    return labels, obj_ma
 
 
-def cc_labels(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,
-              scores: np.ndarray, constraint: np.ndarray | None = None,
-              threshold: float = 0.5, rank: int = 8,
-              max_iters: int = 500) -> np.ndarray:
-    """CCInference over one block: scores in [0,1] → signed weights
+def _block_weights(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,
+                   scores: np.ndarray, constraint: np.ndarray | None,
+                   threshold: float) -> np.ndarray:
+    """Scores in [0,1] → the block's signed strict-upper-tri weight matrix
     (score − threshold, the reference's sigmoid−threshold conversion) with
-    constraint overrides, SDP relaxation, HAC max-agree cut.  ``ids`` must
-    be sorted unique; returns int labels aligned with ``ids``."""
+    constraint overrides."""
     n = len(ids)
-    pos = {int(v): k for k, v in enumerate(ids)}
-    W = np.zeros((n, n), dtype=np.float64)
     w = np.asarray(scores, dtype=np.float64) - threshold
     if constraint is not None:
         # constraint values are distance overrides: REQUIRE (0.0) → hard
@@ -202,14 +334,42 @@ def cc_labels(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,
                      np.where(cons >= DISALLOW, -_HARD,
                               np.where(cons <= REQUIRE, _HARD,
                                        (1.0 - cons) - threshold)))
-    for a, b, v in zip(id1, id2, w):
-        ia, ib = pos[int(a)], pos[int(b)]
-        if ia > ib:
-            ia, ib = ib, ia
-        W[ia, ib] = v
+    # vectorized placement: ids sorted unique → searchsorted positions
+    ia = np.searchsorted(ids, np.asarray(id1, dtype=ids.dtype))
+    ib = np.searchsorted(ids, np.asarray(id2, dtype=ids.dtype))
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    W = np.zeros((n, n), dtype=np.float64)
+    W[lo, hi] = w
+    return W
+
+
+def cc_labels(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,
+              scores: np.ndarray, constraint: np.ndarray | None = None,
+              threshold: float = 0.5, rank: int = 8,
+              max_iters: int = 500) -> np.ndarray:
+    """CCInference over one block (signed weights → SDP relaxation → HAC
+    max-agree cut).  ``ids`` must be sorted unique; returns int labels
+    aligned with ``ids``."""
+    W = _block_weights(ids, id1, id2, scores, constraint, threshold)
     _, X = sdp_lowrank(W, rank=rank, max_iters=max_iters)
     labels, _ = hac_cut(X, W)
     return labels
+
+
+def cc_and_trellis_labels(ids: np.ndarray, id1: np.ndarray, id2: np.ndarray,
+                          scores: np.ndarray,
+                          constraint: np.ndarray | None = None,
+                          threshold: float = 0.5, rank: int = 8,
+                          max_iters: int = 500
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """CCInference + the trellis DAG cut over ONE shared SDP solve: the
+    fractional X is solved once, then rounded both ways (HAC max-agree cut
+    vs five-tree trellis DP).  Returns (cc_labels, trellis_labels)."""
+    W = _block_weights(ids, id1, id2, scores, constraint, threshold)
+    _, X = sdp_lowrank(W, rank=rank, max_iters=max_iters)
+    hac_labels, _ = hac_cut(X, W)
+    tre_labels, _ = trellis_cut(X, W)
+    return hac_labels, tre_labels
 
 
 def cc_block_clustering(
@@ -218,12 +378,15 @@ def cc_block_clustering(
     threshold: float = 0.5,
     score_col: str = "score",
     max_block_docs: int = 500,
+    include_trellis: bool = False,
 ) -> ray.data.Dataset:
     """Per-block correlation-clustering inference over scored pair rows.
 
     Input: (block_key, id1, id2, score[, constraint]).  Output:
     (id, cluster_id:str) with cluster_id = f"{block_key}_{label}" — the same
-    contract as ``hac_block_clustering``.  Blocks larger than
+    contract as ``hac_block_clustering``; ``include_trellis=True`` adds a
+    ``trellis_cluster_id`` column from the five-tree trellis DAG cut
+    sharing the block's single SDP solve.  Blocks larger than
     ``max_block_docs`` (the reference's own >500-signature guard) fall back
     to thresholded transitive closure inside the block."""
     from ..state.unionfind import unionfind_labels
@@ -236,6 +399,7 @@ def cc_block_clustering(
         score = g[score_col].to_numpy(np.float64)
         cons = (g["constraint"].to_numpy(np.float64)
                 if "constraint" in g.columns else None)
+        tre = None
         if len(ids) > max_block_docs:
             keep = score >= threshold
             if cons is not None:
@@ -243,11 +407,19 @@ def cc_block_clustering(
             _, labels = unionfind_labels(id1[keep], id2[keep], ids)
             # unionfind labels are min-member doc ids — compress to 0..k−1
             _, labels = np.unique(labels, return_inverse=True)
+        elif include_trellis:
+            labels, tre = cc_and_trellis_labels(
+                ids, id1, id2, score, constraint=cons, threshold=threshold)
         else:
             labels = cc_labels(ids, id1, id2, score, constraint=cons,
                                threshold=threshold)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"id": ids, "cluster_id": [f"{block}_{l}" for l in labels]})
+        if include_trellis:
+            if tre is None:           # oversized-block fallback
+                tre = labels
+            out["trellis_cluster_id"] = [f"{block}_{l}" for l in tre]
+        return out
 
     return pairs.groupby(block_col).map_groups(
         cluster_block, batch_format="pandas")

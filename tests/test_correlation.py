@@ -98,14 +98,20 @@ def test_hac_cc_clusters_query(sf_dir):
     from ent_res_feedback_ray.pipelines.er import hac_cc_clusters
 
     out = hac_cc_clusters(sf_dir).to_pandas()
-    assert list(out.columns) == ["id", "cluster_id", "cc_cluster_id"]
+    assert list(out.columns) == ["id", "cluster_id", "cc_cluster_id",
+                                 "trellis_cluster_id"]
     assert out["cc_cluster_id"].notna().all()
+    assert out["trellis_cluster_id"].notna().all()
     assert out["id"].is_unique
     # CC must find real structure: at least one multi-doc CC cluster, and
     # the number of CC clusters stays within [n_hac_clusters/2, n_docs]
     n_cc = out["cc_cluster_id"].nunique()
     assert n_cc < len(out)
     assert n_cc >= out["cluster_id"].nunique() // 2
+    # the trellis cut also finds real structure
+    n_tre = out["trellis_cluster_id"].nunique()
+    assert n_tre < len(out)
+    assert n_tre >= out["cluster_id"].nunique() // 2
 
 
 def test_trellis_cut_best_of_linkages():
@@ -142,3 +148,57 @@ def test_trellis_cut_beats_single_tree_sometimes():
                 for lk in ("average", "single", "complete")]
     assert np.isclose(obj, max(per_tree))
     assert obj >= min(per_tree)
+
+
+def test_trellis_dag_strictly_beats_every_single_tree():
+    """The DAG cut mixes subtrees ACROSS linkage trees: on this crafted W
+    its intra-cluster energy is strictly higher than the best cut of each
+    single tree — the behavior the reference's trellis exists for
+    (/root/reference/utils/trellis_helper_fns.py:12-57), which the old
+    best-of-trees lower bound could never show."""
+    from ent_res_feedback_ray.stages.correlation import (
+        build_trellis,
+        cut_trellis,
+        linkage_tree_merges,
+        trellis_energy,
+    )
+
+    rng = np.random.default_rng(1411)
+    n = int(rng.integers(5, 10))  # = 8
+    W = np.triu(rng.uniform(-1, 1, (n, n)), k=1)
+    X = np.clip(0.5 + 0.5 * (W + W.T), 0, 1)
+    np.fill_diagonal(X, 1.0)
+    d = 1.0 - X
+    linkages = ("average", "single", "complete", "exp-", "exp+")
+    trees = [linkage_tree_merges(d, lk) for lk in linkages]
+    dag_labels, dag_obj = cut_trellis(build_trellis(trees, n), W)
+    dag_energy = trellis_energy(dag_labels, W)
+    assert np.isclose(dag_obj, dag_energy)  # root DP value == cut energy
+    for t in trees:
+        # DP over ONE tree == that tree's own max-agree cut
+        tree_labels, _ = cut_trellis(build_trellis([t], n), W)
+        assert dag_energy > trellis_energy(tree_labels, W) + 1e-6
+
+
+def test_trellis_energy_dominates_hac_cut_property():
+    """Energy dominance: the trellis DAG cut's signed intra-cluster energy
+    is ≥ every single-linkage-tree max-agree cut's, on random instances
+    through the full SDP path (the trellis contains every tree)."""
+    from ent_res_feedback_ray.stages.correlation import (
+        hac_cut,
+        trellis_cut,
+        trellis_energy,
+    )
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(6, 13))
+        g = rng.integers(0, 3, n)
+        W = np.where(g[:, None] == g[None, :], 0.3, -0.3)
+        W = np.triu(W + rng.normal(0, 0.4, (n, n)), k=1)
+        _, X = sdp_lowrank(W)
+        tl, _ = trellis_cut(X, W)
+        te = trellis_energy(tl, W)
+        for lk in ("average", "single", "complete"):
+            hl, _ = hac_cut(X, W, linkage=lk)
+            assert te >= trellis_energy(hl, W) - 1e-9
