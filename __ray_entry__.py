@@ -88,7 +88,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_embedding": dedup.embedding_dup_pairs,
-        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf,
+        # (dedup_embedding_ivf retired from the registry — 50-query driver
+        # window; its recall ≥0.9 vs the exact operator stays pinned by
+        # tests/test_similarity_scale.py.  paragraph_dedup takes the slot
+        # with a bit-exact window-function oracle.)
+        "paragraph_dedup": dedup.paragraph_dedup_docs,
         # --- similarity search (lsh+ivf share one tagged query: 50-query cap) ---
         "ann_topk": similarity.ann_topk_bruteforce,
         "ann_topk_approx": similarity.ann_topk_approx,
@@ -124,9 +128,11 @@ def oracle_sql() -> dict[str, str]:
         # so the exact brute-force SQL is a valid oracle.
         "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
         "dedup_embedding": dedup.EMBEDDING_DUP_SQL,
+        "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
+        "doc_lang_id": textstats.LANG_ID_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "pages_binary_metadata": multimodal.PAGES_BINARY_META_SQL,
-        # rows-only (non-SQL-expressible): er_quality, doc_lang_id,
-        # dedup_simhash, ann_topk_approx, embedding_centroids
+        # rows-only (non-SQL-expressible): er_quality, dedup_simhash,
+        # ann_topk_approx, embedding_centroids
     })
     return out

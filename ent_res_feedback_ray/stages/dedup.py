@@ -449,21 +449,81 @@ def paragraph_dedup(
             _partial, batch_format="pandas"),
         "hash", _elect, num_buckets)
 
-    joined = join_on_key(rows, verdict.map_batches(
-        lambda df: df.assign(__dup=True), batch_format="pandas"),
+    # short-paragraph rows (sentinel hash −1) need no verdict — routing
+    # them through the hash-bucketed join would pile EVERY short paragraph
+    # corpus-wide into one straggler bucket; split them off, join only the
+    # hashed rows, and union the short rows back before the per-doc rebuild
+    _OUT_COLS = ["doc_id", "idx", "para", "__keep"]
+
+    def _short_side(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["hash"] == -1]
+        return pd.DataFrame({"doc_id": sub["doc_id"], "idx": sub["idx"],
+                             "para": sub["para"], "__keep": True})
+
+    def _hashed_side(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["hash"] != -1]
+
+    # typed sentinel row (hash −1 exists on no hashed row) keeps the verdict
+    # schema defined even when the corpus has ZERO duplicated paragraphs —
+    # an empty Dataset has schema None, which would break the cogroup join
+    sentinel = ray.data.from_pandas(pd.DataFrame({
+        "hash": np.array([-1], np.int64), "kdoc": np.array([-1], np.int64),
+        "kidx": np.array([-1], np.int64), "__dup": np.array([True], bool)}))
+
+    joined = join_on_key(
+        rows.map_batches(_hashed_side, batch_format="pandas"),
+        verdict.map_batches(lambda df: df.assign(__dup=True),
+                            batch_format="pandas").union(sentinel),
         "hash", num_buckets)
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df["__dup"].fillna(False).to_numpy(bool)
+        keep = ~dup | ((df["kdoc"].to_numpy() == df["doc_id"].to_numpy())
+                       & (df["kidx"].to_numpy() == df["idx"].to_numpy()))
+        return pd.DataFrame({"doc_id": df["doc_id"], "idx": df["idx"],
+                             "para": df["para"], "__keep": keep})
+
+    resolved = joined.map_batches(_resolve, batch_format="pandas").union(
+        rows.map_batches(_short_side, batch_format="pandas"))
 
     def _rebuild(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values("idx", kind="mergesort")
-        dup = part["__dup"].fillna(False).to_numpy(bool)
-        keep = ~dup | ((part["kdoc"].to_numpy() == part["doc_id"].to_numpy())
-                       & (part["kidx"].to_numpy() == part["idx"].to_numpy()))
         out = []
-        for doc, grp in part.assign(__keep=keep).groupby("doc_id", sort=True):
+        for doc, grp in part.groupby("doc_id", sort=True):
             kept = grp.loc[grp["__keep"], "para"]
             out.append((doc, "\n\n".join(kept), len(grp),
                         int((~grp["__keep"]).sum())))
         return pd.DataFrame(out, columns=["doc_id", "text", "n_paras",
                                           "n_dropped"])
 
-    return bucketed_group_apply(joined, "doc_id", _rebuild, num_buckets)
+    return bucketed_group_apply(resolved, "doc_id", _rebuild, num_buckets)
+
+
+def paragraph_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Driver-surface row for corpus-level paragraph dedup over the
+    documents table; bit-exact DuckDB window-function twin
+    (``PARAGRAPH_DEDUP_SQL``)."""
+    return paragraph_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(text, chr(10) || chr(10))))) - 1 AS idx
+  FROM documents
+), marked AS (
+  SELECT *,
+    CASE WHEN len(para) >= 40
+         THEN row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+         ELSE 1 END AS rn
+  FROM paras
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                FILTER (WHERE rn = 1), '') AS text,
+       count(*) AS n_paras,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id
+""".strip()

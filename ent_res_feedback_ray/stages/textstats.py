@@ -135,6 +135,41 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_lid, batch_format="pyarrow")
 
 
+# Bit-exact twin of the stopword heuristic: per-language marker hits over
+# the doc's DISTINCT normalized tokens, argmax with ties to the
+# alphabetically-first code (the Python loop iterates sorted codes and only
+# a STRICTLY greater count overrides), 'unk' when no marker fires.
+LANG_ID_SQL = """
+WITH norm AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(list_distinct(string_split(n, ' ')),
+        x -> x IN ('der','die','das','und','ein','ist'))) AS hde,
+    len(list_filter(list_distinct(string_split(n, ' ')),
+        x -> x IN ('the','and','of','to','a','in','is'))) AS hen,
+    len(list_filter(list_distinct(string_split(n, ' ')),
+        x -> x IN ('el','la','los','de','y','un','es'))) AS hes,
+    len(list_filter(list_distinct(string_split(n, ' ')),
+        x -> x IN ('le','la','les','de','et','un','une'))) AS hfr
+  FROM norm
+),
+pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'unk'
+         WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+         WHEN hen >= hes AND hen >= hfr THEN 'en'
+         WHEN hes >= hfr THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM hits
+)
+SELECT doc_id, pred_lang, pred_lang = lang AS agrees_with_declared FROM pred
+""".strip()
+
+
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Content fingerprint: md5 of normalized text (DuckDB-parity) — the
     exact-dedup key."""
