@@ -111,6 +111,31 @@ def synthesize_constraint_seeds(assignments: ray.data.Dataset,
     return seeds
 
 
+def _load_scorer(model_path: str, scorer_cls):
+    """Resume-safe model load: a round checkpoint written with one scorer
+    class must not be fed to another's loader (LogisticScorer npz has
+    'w'/'b'/'nan_fill'; MLPScorer has 'W1'/'b1'/'W2'/'b2'/'mu'/'sd') —
+    probe the npz keys and dispatch to the matching class, warning when it
+    differs from the requested ``scorer_cls`` (round-3 ADVICE)."""
+    from ..state.mlp import MLPScorer
+
+    with np.load(model_path) as data:
+        keys = set(data.files)
+    if "w" in keys:
+        cls = LogisticScorer
+    elif "W1" in keys:
+        cls = MLPScorer
+    else:
+        raise ValueError(
+            f"unrecognized scorer checkpoint at {model_path}: keys {sorted(keys)}")
+    if cls is not scorer_cls:
+        print(f"FEEDBACK resume: checkpoint at {model_path} was written by "
+              f"{cls.__name__}; requested {scorer_cls.__name__} — loading "
+              f"with {cls.__name__} (delete the round dirs to retrain)",
+              flush=True)
+    return cls.load(model_path)
+
+
 def run_feedback_rounds(
     pages_path: str,
     gold_path: str,
@@ -178,7 +203,7 @@ def run_feedback_rounds(
             # resume: reload accumulated labels + model + seeds, skip round
             labels = pd.read_parquet(label_path)
             if os.path.exists(model_path):
-                model = scorer_cls.load(model_path)
+                model = _load_scorer(model_path, scorer_cls)
             if os.path.exists(seeds_path):
                 with open(seeds_path) as f:
                     seeds = {(int(a), int(b)): v

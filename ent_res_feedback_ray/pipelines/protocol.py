@@ -1,0 +1,254 @@
+"""Formal Stage protocol: registry + pipeline-from-config — the rebuild's
+user-extension surface (SURVEY.md §2.12).
+
+Reference extension hooks this formalizes: ``features_to_use`` feature-group
+selection (/root/reference/s2and/featurizer.py:55-74), pluggable
+``classifier`` / ``cluster_model`` (/root/reference/s2and/model.py:73-109),
+and the documented ``compute_block`` override ("Override for other
+definition of blocks", /root/reference/s2and/text.py:634-635).  Instead of
+subclass seams, the Ray rebuild exposes one composable shape:
+
+    Stage = Callable[[ray.data.Dataset, Ctx], ray.data.Dataset]
+
+Stages are pure Dataset→Dataset transforms; cross-stage side state (seeds,
+a trained model, the singleton id table) travels in :class:`Ctx` — never as
+module globals.  A pipeline is data: a list of ``{"stage": name, **kwargs}``
+dicts, resolved against the registry by :func:`build_pipeline`, so variant
+pipelines (key vs LSH blocking, linear vs trained scoring, transitive vs
+HAC vs CC clustering) are config edits, not code forks.
+
+Register custom stages with :func:`register_stage`; factories receive the
+config kwargs once at build time and return the Stage closure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+Stage = Callable[[ray.data.Dataset, "Ctx"], ray.data.Dataset]
+StageFactory = Callable[..., Stage]
+
+_REGISTRY: dict[str, StageFactory] = {}
+
+
+@dataclass
+class Ctx:
+    """Cross-stage side state: constraint seeds, a fitted scorer, the
+    singleton-fill id table, arbitrary user entries.  Mutable on purpose —
+    a stage may publish state for a later stage (e.g. blocking publishes
+    ``all_ids`` for the clusterer's singleton fill)."""
+
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self.params.get(key, default)
+
+
+def register_stage(name: str) -> Callable[[StageFactory], StageFactory]:
+    """Decorator: add a stage factory to the registry under ``name``."""
+
+    def _reg(factory: StageFactory) -> StageFactory:
+        if name in _REGISTRY:
+            raise ValueError(f"stage {name!r} already registered")
+        _REGISTRY[name] = factory
+        return factory
+
+    return _reg
+
+
+def stage_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def make_stage(name: str, **kwargs) -> Stage:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown stage {name!r}; registered: {stage_names()}")
+    return _REGISTRY[name](**kwargs)
+
+
+def build_pipeline(config: list[dict]) -> Callable[..., ray.data.Dataset]:
+    """``[{"stage": name, **kwargs}, …]`` → one callable
+    ``(Dataset, ctx=None) -> Dataset`` applying the stages in order.
+    Unknown stage names and bad kwargs fail at BUILD time, not mid-run."""
+    stages = [
+        make_stage(c["stage"], **{k: v for k, v in c.items() if k != "stage"})
+        for c in config
+    ]
+
+    def run(ds: ray.data.Dataset, ctx: Ctx | None = None) -> ray.data.Dataset:
+        ctx = ctx or Ctx()
+        for s in stages:
+            ds = s(ds, ctx)
+        return ds
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# built-in stages (thin closures over the package's stage functions)
+# ---------------------------------------------------------------------------
+
+
+@register_stage("normalize")
+def _normalize(**kw) -> Stage:
+    from ..stages.normalize import normalize_stage
+
+    def _s(ds, ctx):
+        return normalize_stage(ds, **kw)
+
+    return _s
+
+
+@register_stage("publish_all_ids")
+def _publish_all_ids(id_col: str = "doc_id") -> Stage:
+    """Publish the full id table into ``ctx.params['all_ids']`` (column
+    ``node``) for the clusterer's singleton fill — stays a Dataset."""
+
+    def _s(ds, ctx):
+        ctx.params["all_ids"] = ds.select_columns([id_col]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+        return ds
+
+    return _s
+
+
+@register_stage("key_blocking")
+def _key_blocking(**kw) -> Stage:
+    from ..stages.blocking import key_blocking_stage
+
+    def _s(ds, ctx):
+        return key_blocking_stage(ds, **kw)
+
+    return _s
+
+
+@register_stage("lsh_blocking")
+def _lsh_blocking(num_perm: int = 64, num_bands: int = 16, seed: int = 42,
+                  carry_cols: tuple = ("doc_id", "norm_text", "lang")) -> Stage:
+    """MinHash + band explode; band_key lands in ``block_key`` so the pairs
+    stage downstream is blocking-family-agnostic."""
+    from ..stages.blocking import band_explode_stage, minhash_stage
+
+    def _s(ds, ctx):
+        mh = minhash_stage(ds.select_columns(list(carry_cols)),
+                           num_perm=num_perm, seed=seed)
+        bands = band_explode_stage(mh, num_bands=num_bands,
+                                   keep_cols=list(carry_cols))
+        return bands.map_batches(
+            lambda t: t.rename_columns(
+                ["block_key" if c == "band_key" else c
+                 for c in t.column_names]),
+            batch_format="pyarrow")
+
+    return _s
+
+
+@register_stage("pairs")
+def _pairs(carry_cols: tuple = ("norm_text", "lang"), **kw) -> Stage:
+    from ..stages.pairs import dedup_pairs, pairs_from_blocks
+
+    dedup = kw.pop("dedup", False)
+
+    def _s(ds, ctx):
+        out = pairs_from_blocks(ds, block_col="block_key", id_col="doc_id",
+                                carry_cols=list(carry_cols), **kw)
+        return dedup_pairs(out) if dedup else out
+
+    return _s
+
+
+@register_stage("featurize")
+def _featurize(**kw) -> Stage:
+    from ..stages.features import featurize_stage
+
+    def _s(ds, ctx):
+        return featurize_stage(ds, token_df_ref=ctx.get("token_df"), **kw)
+
+    return _s
+
+
+@register_stage("linear_score")
+def _linear_score() -> Stage:
+    from ..stages.scoring import linear_scoring_stage
+
+    def _s(ds, ctx):
+        return linear_scoring_stage(ds)
+
+    return _s
+
+
+@register_stage("trained_score")
+def _trained_score(**kw) -> Stage:
+    """Actor-pool inference with the scorer published in
+    ``ctx.params['model']`` (the train-on-driver / infer-distributed
+    split, /root/reference/s2and/model.py:744-876)."""
+    from ..stages.scoring import trained_scoring_stage
+
+    def _s(ds, ctx):
+        model = ctx.get("model")
+        if model is None:
+            raise ValueError("trained_score needs ctx.params['model']")
+        return trained_scoring_stage(ds, model, **kw)
+
+    return _s
+
+
+@register_stage("constraints")
+def _constraints(**kw) -> Stage:
+    from ..stages.constraints import constraint_stage
+
+    def _s(ds, ctx):
+        return constraint_stage(ds, seeds=ctx.get("seeds"),
+                                alias_pairs=ctx.get("alias_pairs"), **kw)
+
+    return _s
+
+
+@register_stage("cluster_transitive")
+def _cluster_transitive(threshold: float = 0.5, **kw) -> Stage:
+    """Global transitive closure → (doc_id, cluster_id)."""
+    from ..stages.clustering import transitive_clustering
+
+    def _s(ds, ctx):
+        assign = transitive_clustering(ds, all_ids=ctx.get("all_ids"),
+                                       threshold=threshold, **kw)
+        return assign.map_batches(
+            lambda t: t.select(["node", "label"]).rename_columns(
+                ["doc_id", "cluster_id"]),
+            batch_format="pyarrow")
+
+    return _s
+
+
+@register_stage("cluster_hac")
+def _cluster_hac(eps: float = 0.5) -> Stage:
+    """Per-block average-linkage HAC cut over distance = 1 − score."""
+    from ..stages.clustering import hac_block_clustering
+
+    def _dist(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("distance", pa.array(1.0 - s, pa.float64()))
+
+    def _s(ds, ctx):
+        return hac_block_clustering(
+            ds.map_batches(_dist, batch_format="pyarrow"), eps=eps)
+
+    return _s
+
+
+@register_stage("cluster_cc")
+def _cluster_cc(**kw) -> Stage:
+    """Per-block correlation-clustering inference (SDP + max-agree cut)."""
+    from ..stages.correlation import cc_block_clustering
+
+    def _s(ds, ctx):
+        return cc_block_clustering(ds, **kw)
+
+    return _s

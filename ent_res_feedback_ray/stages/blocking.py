@@ -45,11 +45,19 @@ def key_block_key(norm_text: str, lang: str) -> str:
 def key_blocking_stage(ds: ray.data.Dataset, norm_col: str = "norm_text",
                        lang_col: str = "lang",
                        out_col: str = "block_key") -> ray.data.Dataset:
+    """Arrow-native (lang + '_' + first token) key — zero per-row Python on
+    the er_e2e hot path (scalar twin: :func:`key_block_key`)."""
+    import pyarrow.compute as pc
+
     def _block(batch: pa.Table) -> pa.Table:
-        norms = batch.column(norm_col).to_pylist()
-        langs = batch.column(lang_col).to_pylist()
-        keys = [key_block_key(n or "", l or "") for n, l in zip(norms, langs)]
-        return batch.append_column(out_col, pa.array(keys, pa.string()))
+        norm = pc.fill_null(
+            pc.cast(batch.column(norm_col), pa.string()), "")
+        lang = pc.fill_null(
+            pc.cast(batch.column(lang_col), pa.string()), "")
+        first = pc.list_element(
+            pc.split_pattern(norm, " ", max_splits=1), 0)
+        keys = pc.binary_join_element_wise(lang, first, "_")
+        return batch.append_column(out_col, pc.cast(keys, pa.string()))
 
     return ds.map_batches(_block, batch_format="pyarrow")
 

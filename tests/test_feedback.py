@@ -235,3 +235,37 @@ def test_exists_constraint_repairs_split(tmp_path_factory):
     assert os.path.exists(
         os.path.join(stage_dir(str(out_dir / "rounds"), 2, "round"),
                      "exists.json"))
+
+
+def test_resume_cross_scorer_checkpoint(tmp_path):
+    """A round checkpoint written by one scorer class must resume safely
+    when the caller asks for the other: the loader probes the npz keys and
+    dispatches to the class that wrote it (round-3 ADVICE: the mismatched
+    loader used to raise KeyError('W1') / KeyError('w'))."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ent_res_feedback_ray.pipelines.feedback import _load_scorer
+    from ent_res_feedback_ray.state.mlp import MLPScorer
+    from ent_res_feedback_ray.state.model import LogisticScorer
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(64, 4))
+    y = (X[:, 0] > 0).astype(float)
+
+    lg_path = str(tmp_path / "lg_model.npz")
+    LogisticScorer().fit(X, y).save(lg_path)
+    m = _load_scorer(lg_path, MLPScorer)      # wrong class requested
+    assert isinstance(m, LogisticScorer)
+    assert m.predict_proba(X).shape == (64,)
+
+    mlp_path = str(tmp_path / "mlp_model.npz")
+    MLPScorer(n_iter=20).fit(X, y).save(mlp_path)
+    m2 = _load_scorer(mlp_path, LogisticScorer)
+    assert isinstance(m2, MLPScorer)
+    assert m2.predict_proba(X).shape == (64,)
+
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, junk=np.zeros(3))
+    with _pytest.raises(ValueError, match="unrecognized scorer checkpoint"):
+        _load_scorer(bad, LogisticScorer)

@@ -1,0 +1,138 @@
+"""Stage protocol (SURVEY §2.12): registry, config-driven pipelines, and
+variant composition — blocking × scoring × clustering swapped by config."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ent_res_feedback_ray.pipelines.protocol import (
+    Ctx,
+    build_pipeline,
+    make_stage,
+    register_stage,
+    stage_names,
+)
+
+
+def _planted_pages() -> tuple[pd.DataFrame, dict[int, int]]:
+    """Six docs, two planted duplicate groups + two singletons, all sharing
+    one blocking key so every pair is a candidate."""
+    texts = [
+        "alpha news report about the market crash today extended coverage",
+        "alpha news report about the market crash today extended coverage",
+        "alpha completely different quarterly earnings statement for the firm",
+        "alpha completely different quarterly earnings statement for the firm",
+        "alpha unrelated cooking recipe with tomatoes and fresh basil leaves",
+        "alpha another standalone travel guide for remote mountain villages",
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "url": [f"https://ex{i}.com/p" for i in range(6)],
+        "text": texts,
+        "lang": ["en"] * 6,
+    })
+    gold = {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}
+    return df, gold
+
+
+BASE = [
+    {"stage": "normalize"},
+    {"stage": "publish_all_ids"},
+    {"stage": "key_blocking"},
+    {"stage": "pairs", "carry_cols": ("norm_text", "lang")},
+    {"stage": "featurize"},
+    {"stage": "linear_score"},
+    {"stage": "constraints"},
+]
+
+
+def _pairs_same(assign: pd.DataFrame, gold: dict[int, int],
+                id_col: str, lab_col: str) -> None:
+    lab = dict(zip(assign[id_col].astype(int), assign[lab_col]))
+    for a in gold:
+        for b in gold:
+            if a < b and a in lab and b in lab:
+                assert (lab[a] == lab[b]) == (gold[a] == gold[b]), (a, b)
+
+
+def test_config_pipeline_transitive_matches_gold():
+    df, gold = _planted_pages()
+    run = build_pipeline(BASE + [{"stage": "cluster_transitive"}])
+    out = run(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(6))
+    _pairs_same(out, gold, "doc_id", "cluster_id")
+
+
+def test_config_pipeline_variants_hac_cc_lsh():
+    """Same planted corpus through three variant configs: HAC clustering,
+    CC clustering, and LSH blocking — pure config edits, same gold."""
+    df, gold = _planted_pages()
+    ds = ray.data.from_pandas(df)
+
+    hac = build_pipeline(BASE + [{"stage": "cluster_hac", "eps": 0.5}])
+    out_hac = hac(ds).to_pandas()
+    _pairs_same(out_hac, gold, "id", "cluster_id")
+
+    cc = build_pipeline(BASE + [{"stage": "cluster_cc"}])
+    out_cc = cc(ds).to_pandas()
+    _pairs_same(out_cc, gold, "id", "cluster_id")
+
+    lsh = build_pipeline([
+        {"stage": "normalize"},
+        {"stage": "publish_all_ids"},
+        {"stage": "lsh_blocking", "num_perm": 64, "num_bands": 16},
+        {"stage": "pairs", "carry_cols": ("norm_text", "lang"), "dedup": True},
+        {"stage": "featurize"},
+        {"stage": "linear_score"},
+        {"stage": "constraints"},
+        {"stage": "cluster_transitive"},
+    ])
+    out_lsh = lsh(ds).to_pandas()
+    # LSH recall: the exact-duplicate groups must band together
+    _pairs_same(out_lsh, gold, "doc_id", "cluster_id")
+
+
+def test_ctx_side_state_trained_score():
+    """ctx carries the fitted scorer into the actor-pool stage — the
+    train-on-driver / infer-distributed seam as a config variant."""
+    from ent_res_feedback_ray.stages.features import FEATURE_COLS
+    from ent_res_feedback_ray.state.model import LogisticScorer
+
+    df, gold = _planted_pages()
+    ds = ray.data.from_pandas(df)
+    featurized = build_pipeline(BASE[:-2])(ds)  # through featurize
+    feats = featurized.to_pandas()
+    X = feats[list(FEATURE_COLS)].to_numpy(np.float64)
+    y = np.array([1.0 if gold[a] == gold[b] else 0.0
+                  for a, b in zip(feats["id1"], feats["id2"])])
+    model = LogisticScorer().fit(X, y)
+
+    run = build_pipeline(BASE[:-2] + [
+        {"stage": "trained_score"},
+        {"stage": "constraints"},
+        {"stage": "cluster_transitive", "threshold": 0.5},
+    ])
+    out = run(ds, Ctx(params={"model": model})).to_pandas()
+    _pairs_same(out, gold, "doc_id", "cluster_id")
+
+
+def test_registry_errors_and_custom_stage():
+    assert "normalize" in stage_names()
+    with pytest.raises(KeyError):
+        make_stage("no_such_stage")
+    with pytest.raises(ValueError):
+        register_stage("normalize")(lambda **kw: None)
+
+    @register_stage("add_len_col_test")
+    def _add_len(col: str = "text") -> object:
+        def _s(ds, ctx):
+            return ds.map_batches(
+                lambda df: df.assign(text_len=df[col].str.len()),
+                batch_format="pandas")
+        return _s
+
+    df, _ = _planted_pages()
+    run = build_pipeline([{"stage": "add_len_col_test"}])
+    out = run(ray.data.from_pandas(df)).to_pandas()
+    assert (out["text_len"] == df["text"].str.len()).all()
