@@ -172,6 +172,61 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(out)
 
 
+def simhash64_segmented(token_hashes: np.ndarray, weights: np.ndarray,
+                        seg_starts: np.ndarray,
+                        chunk_rows: int = 65_536) -> np.ndarray:
+    """Vectorized SimHash over MANY docs at once: ``token_hashes`` /
+    ``weights`` are the concatenation of every doc's (unique-hash, count)
+    rows, ``seg_starts`` the start offset of each doc's segment.  Bit j of
+    doc d = [Σ_{rows of d} (2·bit_j(h) − 1)·w > 0] — identical semantics to
+    per-doc :func:`simhash64`, one (rows × 64) pass per bounded chunk
+    instead of a Python loop over docs (round-3 verdict polish item).
+
+    Returns uint64 signatures aligned with ``seg_starts``; empty segments
+    hash to 0."""
+    n_seg = len(seg_starts)
+    out = np.zeros(n_seg, dtype=np.uint64)
+    n_rows = len(token_hashes)
+    if n_rows == 0 or n_seg == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits_pow = np.uint64(1) << shifts
+    seg_ends = np.append(seg_starts[1:], n_rows)
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    w = np.asarray(weights, dtype=np.int64)
+    # chunk over WHOLE segments so reduceat never splits a doc
+    s = 0
+    while s < n_seg:
+        e = s
+        rows = 0
+        while e < n_seg and (rows == 0 or rows + (seg_ends[e] - seg_starts[e])
+                             <= chunk_rows):
+            rows += seg_ends[e] - seg_starts[e]
+            e += 1
+        lo, hi = int(seg_starts[s]), int(seg_ends[e - 1])
+        if hi == lo:                      # chunk of only-empty segments
+            s = e
+            continue
+        hc = h[lo:hi]
+        sign = (((hc[:, None] >> shifts[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1)
+        contrib = sign * w[lo:hi, None]
+        starts_local = (seg_starts[s:e] - lo).astype(np.int64)
+        nonempty = np.append(starts_local[1:], hi - lo) > starts_local
+        # reduceat over NONEMPTY segments only (duplicated/out-of-range
+        # indices from empty segments would mis-sum their neighbors);
+        # empty segments keep signature 0
+        ne = np.nonzero(nonempty)[0]
+        acc = np.add.reduceat(contrib, starts_local[ne], axis=0)
+        sig = np.bitwise_or.reduce(
+            np.where(acc > 0, bits_pow[None, :], np.uint64(0)), axis=1)
+        chunk_out = np.zeros(e - s, dtype=np.uint64)
+        chunk_out[ne] = sig
+        out[s:e] = chunk_out
+        s = e
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

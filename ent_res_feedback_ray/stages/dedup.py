@@ -190,16 +190,33 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 4) -> ray.data.Dataset:
     ds = _norm_docs(sf_dir)
 
     def _sim(t: pa.Table) -> pa.Table:
+        # vectorized sketch: ONE fnv pass over all docs' tokens, per-doc
+        # (hash, count) segments via lexsort, then the segmented SimHash
+        # kernel — no Python loop over docs (round-3 verdict polish item)
+        from itertools import chain
+
+        from ..functions.hashing import simhash64_segmented
+
         norms = t.column("norm_text").to_pylist()
-        out = np.empty(len(norms), dtype=np.uint64)
-        for i, s in enumerate(norms):
-            toks = s.split()
-            if not toks:
-                out[i] = 0
-                continue
-            uniq, counts = np.unique(np.array(toks), return_counts=True)
-            hs = fnv1a64(list(uniq))
-            out[i] = simhash64(hs, counts.astype(np.float64))
+        n = len(norms)
+        tok_lists = [(s or "").split() for s in norms]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+        if int(lens.sum()) == 0:
+            out = np.zeros(n, np.uint64)
+        else:
+            h = fnv1a64(list(chain.from_iterable(tok_lists)))
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((h, doc))
+            hs, ds_ = h[order], doc[order]
+            first = np.concatenate(
+                [[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+            starts = np.nonzero(first)[0]
+            cnt = np.diff(np.append(starts, len(hs)))
+            uh, ud = hs[first], ds_[first]
+            # per-doc segment starts over the unique rows (docs with zero
+            # tokens get empty segments)
+            seg_starts = np.searchsorted(ud, np.arange(n, dtype=np.int64))
+            out = simhash64_segmented(uh, cnt, seg_starts)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "simhash": pa.array(out.astype(np.int64), pa.int64()),

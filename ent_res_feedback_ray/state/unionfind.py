@@ -185,6 +185,10 @@ def connected_components(
             print(f"CCPROF {label} {now - _t:.2f}", flush=True)
             _t = now
 
+    # GRAFT_CC_DRIVER_THRESHOLD=0 forces the distributed fixpoint (used by
+    # the scaling protocol to evidence that the >2M-edge path also scales)
+    driver_threshold = int(_os.environ.get("GRAFT_CC_DRIVER_THRESHOLD",
+                                           driver_threshold))
     edges = edges.materialize()  # one execution serves count + pull/propagate
     n_edges = edges.count()
     _tick("edges_materialize")

@@ -92,3 +92,48 @@ def test_rolling_fingerprints_deterministic_and_local():
     f2 = rolling_fingerprints(s2)
     shared = set(f1) & set(f2)
     assert len(shared) > 0.5 * min(len(f1), len(f2))
+
+
+def test_simhash64_segmented_parity():
+    """Vectorized segmented SimHash == per-doc simhash64 over random corpora
+    with empty docs, across chunk boundaries (round-3 verdict polish)."""
+    from itertools import chain
+
+    import numpy as np
+
+    from ent_res_feedback_ray.functions.hashing import (
+        fnv1a64,
+        simhash64,
+        simhash64_segmented,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = []
+    for _ in range(300):
+        k = int(rng.integers(0, 40))
+        docs.append(" ".join(rng.choice(vocab, size=k)) if k else "")
+    ref = []
+    for s in docs:
+        toks = s.split()
+        if not toks:
+            ref.append(0)
+            continue
+        uniq, counts = np.unique(np.array(toks), return_counts=True)
+        ref.append(simhash64(fnv1a64(list(uniq)), counts.astype(np.float64)))
+    ref = np.array(ref, dtype=np.uint64)
+
+    tok_lists = [s.split() for s in docs]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64)
+    h = fnv1a64(list(chain.from_iterable(tok_lists)))
+    doc = np.repeat(np.arange(len(docs)), lens)
+    order = np.lexsort((h, doc))
+    hs_, ds_ = h[order], doc[order]
+    first = np.concatenate([[True], (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])])
+    starts = np.nonzero(first)[0]
+    cnt = np.diff(np.append(starts, len(hs_)))
+    uh, ud = hs_[first], ds_[first]
+    seg_starts = np.searchsorted(ud, np.arange(len(docs)))
+    for chunk in (13, 97, 65_536):   # force many / few chunk boundaries
+        got = simhash64_segmented(uh, cnt, seg_starts, chunk_rows=chunk)
+        assert np.array_equal(ref, got)
