@@ -64,18 +64,44 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _quality(t: pa.Table) -> pa.Table:
-        norm = normalize_text_array(t.column("text")).to_pylist()
-        n = len(norm)
-        mean_tok = np.full(n, np.nan)
-        stop_ratio = np.full(n, np.nan)
+        # fully vectorized: token/char counts from Arrow kernels; stopword
+        # hits via one RE2 pass; distinct-per-doc via the flat
+        # fnv + lexsort segment trick (no per-doc Python loop)
+        from itertools import chain
+
+        from ..functions.hashing import fnv1a64
+
+        norm_arr = normalize_text_array(t.column("text"))
+        n = t.num_rows
+        n_tok = pc.cast(token_count_array(norm_arr), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(norm_arr).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # norm text is single-space-separated [a-z0-9]+ tokens, so
+        # total token chars = len(norm) − (n_tok − 1) separators
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_tok = np.where(n_tok > 0,
+                                (n_chars - (n_tok - 1)) / n_tok, np.nan)
+            stops = pc.count_substring_regex(
+                norm_arr, r"\b(the|a)\b").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            stop_ratio = np.where(n_tok > 0, stops / n_tok, np.nan)
+        # distinct tokens per doc: hash all tokens once, lexsort (doc, hash),
+        # count segment-first rows per doc
+        norms = norm_arr.to_pylist()
+        tok_lists = [s.split() for s in norms]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
         uniq_ratio = np.full(n, np.nan)
-        for i, s in enumerate(norm):
-            toks = s.split()
-            if not toks:
-                continue
-            mean_tok[i] = sum(len(w) for w in toks) / len(toks)
-            stop_ratio[i] = sum(1 for w in toks if w in ("the", "a")) / len(toks)
-            uniq_ratio[i] = len(set(toks)) / len(toks)
+        if int(lens.sum()):
+            h = fnv1a64(list(chain.from_iterable(tok_lists)))
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((h, doc))
+            hs, ds_ = h[order], doc[order]
+            first = np.concatenate(
+                [[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+            nuniq = np.bincount(ds_[first], minlength=n).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                uniq_ratio = np.where(lens > 0, nuniq / lens, np.nan)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "mean_token_len": pa.array(mean_tok, pa.float64(), from_pandas=True),
@@ -108,28 +134,39 @@ FROM toks
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID: argmax marker-word hits, 'unk' when no marker
-    (deterministic tie-break by language code).  Emits agreement with the
-    declared lang column — ensemble-agreement validation analog of the
-    reference's fastText+cld2 vote (/root/reference/s2and/text.py:266-309)."""
+    (deterministic tie-break by language code).  Output mirrors the
+    reference ``detect_language`` triple (is_reliable, is_english,
+    predicted_language) from the fastText+cld2 ensemble
+    (/root/reference/s2and/text.py:266-309): ``is_reliable`` = the two
+    voters agree (marker argmax == declared lang column) AND the evidence
+    is non-trivial (≥2 marker hits — the cld2 reliability-flag analog);
+    ``is_english`` = predicted 'en'."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def _lid(t: pa.Table) -> pa.Table:
-        norm = normalize_text_array(t.column("text")).to_pylist()
-        langs = t.column("lang").to_pylist()
-        pred, agree = [], []
-        for s, declared in zip(norm, langs):
-            toks = set(s.split())
-            best_lang, best_hits = "unk", 0
-            for code in sorted(_LANG_MARKERS):
-                hits = len(toks & _LANG_MARKERS[code])
-                if hits > best_hits:
-                    best_lang, best_hits = code, hits
-            pred.append(best_lang)
-            agree.append(best_lang == declared)
+        # vectorized: one RE2 presence pass per marker word (28 total) —
+        # distinct-hit counts per language, then the same
+        # strictly-greater argmax as the scalar loop (ties → first code)
+        norm = normalize_text_array(t.column("text"))
+        n = t.num_rows
+        best_hits = np.zeros(n, dtype=np.int64)
+        pred = np.full(n, "unk", dtype=object)
+        for code in sorted(_LANG_MARKERS):
+            hits = np.zeros(n, dtype=np.int64)
+            for w in sorted(_LANG_MARKERS[code]):
+                hits += pc.match_substring_regex(
+                    norm, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+            better = hits > best_hits
+            pred[better] = code
+            best_hits = np.where(better, hits, best_hits)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        agree = pred == langs
         return pa.table({
             "doc_id": t.column("doc_id"),
             "pred_lang": pa.array(pred, pa.string()),
             "agrees_with_declared": pa.array(agree, pa.bool_()),
+            "is_reliable": pa.array(agree & (best_hits >= 2), pa.bool_()),
+            "is_english": pa.array(pred == "en", pa.bool_()),
         })
 
     return ds.map_batches(_lid, batch_format="pyarrow")
@@ -158,7 +195,7 @@ hits AS (
   FROM norm
 ),
 pred AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, greatest(hde, hen, hes, hfr) AS best_hits,
     CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'unk'
          WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
          WHEN hen >= hes AND hen >= hfr THEN 'en'
@@ -166,7 +203,10 @@ pred AS (
          ELSE 'fr' END AS pred_lang
   FROM hits
 )
-SELECT doc_id, pred_lang, pred_lang = lang AS agrees_with_declared FROM pred
+SELECT doc_id, pred_lang, pred_lang = lang AS agrees_with_declared,
+       pred_lang = lang AND best_hits >= 2 AS is_reliable,
+       pred_lang = 'en' AS is_english
+FROM pred
 """.strip()
 
 
@@ -203,14 +243,20 @@ def token_document_frequency(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pd.DataFrame:
+        # flat split + C-speed per-doc distinct (drop_duplicates) + partial
+        # count — no per-doc Python set() loop
+        from itertools import chain
+
         norm = normalize_text_array(t.column("text")).to_pylist()
-        toks: list[str] = []
-        for s in norm:
-            if s:
-                toks.extend(set(s.split()))
-        # partial count within the batch
-        ser = pd.Series(toks, dtype=object)
-        g = ser.value_counts()
+        tok_lists = [s.split() for s in norm]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                           count=len(tok_lists))
+        flat = pd.DataFrame({
+            "d": np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens),
+            "token": pd.Series(list(chain.from_iterable(tok_lists)),
+                               dtype=object),
+        }).drop_duplicates()
+        g = flat["token"].value_counts()
         return pd.DataFrame({"token": g.index.to_numpy(dtype=object),
                              "df": g.to_numpy(dtype=np.int64)})
 
