@@ -241,30 +241,49 @@ def build_trellis(trees: list[list[tuple]], n: int) -> dict:
     return nodes
 
 
-def cut_trellis(nodes: dict, W: np.ndarray) -> tuple[np.ndarray, float]:
+def cut_trellis(nodes: dict, W: np.ndarray,
+                ecc: "list[tuple[int, frozenset]] | None" = None,
+                ) -> tuple[np.ndarray, float]:
     """DP over the trellis DAG maximizing intra-cluster (signed) energy —
     the reference ``cut_trellis`` (/root/reference/utils/
     trellis_helper_fns.py:12-57): bottom-up in topological (cluster-size)
     order, a node keeps its leaves as ONE cluster unless some observed
-    child split's combined energy is strictly better; because a node's
+    child split's combined objective is strictly better; because a node's
     splits come from every tree, the cut can mix subtrees across trees and
-    strictly beat each single tree's best.  Returns (labels aligned with
-    leaf index 0..n−1, DP energy of the root)."""
+    strictly beat each single tree's best.
+
+    ``ecc``: optional existential constraints ``(anchor_leaf,
+    qualifying_leaves)`` — a constraint is satisfied by a flat cluster
+    containing its anchor AND ≥1 qualifying leaf.  With constraints the DP
+    compares ``(num_ecc_sat, energy)`` LEXICOGRAPHICALLY, exactly the
+    reference's EccClusterer cut (trellis_helper_fns.py:29-36: adopt a
+    split iff it satisfies more constraints, or equally many at higher
+    energy).  Returns (labels aligned with leaf index 0..n−1, DP energy of
+    the root)."""
     n = W.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64), 0.0
     Wsym = W + W.T
     obj: dict[tuple, float] = {}
+    sat: dict[tuple, int] = {}
     memb: dict[tuple, np.ndarray] = {}      # labels aligned with the key
     root = None
     for key in sorted(nodes, key=lambda k: (len(k), k)):
         leaves = np.fromiter(key, np.int64, count=len(key))
+        lset = frozenset(key)
         best = float(Wsym[np.ix_(leaves, leaves)].sum()) / 2.0
+        best_sat = 0
+        if ecc:
+            # unsplit-node satisfaction: anchor in leaves ∧ any qualifier in
+            # (reference get_num_ecc_sat over the flat cluster)
+            best_sat = sum(1 for a, q in ecc
+                           if a in lset and not q.isdisjoint(lset))
         labels = np.zeros(len(key), dtype=np.int64)
         for lk, rk in nodes[key]:
+            cand_sat = sat[lk] + sat[rk]
             cand = obj[lk] + obj[rk]
-            if cand > best:                 # strict: ties prefer merged
-                best = cand
+            if (cand_sat, cand) > (best_sat, best):   # lexicographic; strict
+                best, best_sat = cand, cand_sat
                 lab = np.empty(len(key), dtype=np.int64)
                 lpos = np.searchsorted(leaves, np.fromiter(lk, np.int64))
                 rpos = np.searchsorted(leaves, np.fromiter(rk, np.int64))
@@ -273,6 +292,7 @@ def cut_trellis(nodes: dict, W: np.ndarray) -> tuple[np.ndarray, float]:
                 lab[rpos] = memb[rk] + (lm.max() + 1 if len(lm) else 0)
                 labels = lab
         obj[key] = best
+        sat[key] = best_sat
         memb[key] = labels
         if len(key) == n:
             root = key
@@ -293,6 +313,7 @@ def trellis_energy(labels: np.ndarray, W: np.ndarray) -> float:
 def trellis_cut(X: np.ndarray, W: np.ndarray,
                 linkages: tuple[str, ...] = ("average", "single", "complete",
                                              "exp-", "exp+"),
+                ecc: "list[tuple[int, frozenset]] | None" = None,
                 ) -> tuple[np.ndarray, float]:
     """True trellis cut (reference ``TrellisCutLayer`` + ``Trellis.fit`` +
     ``cut_trellis``, /root/reference/e2e_pipeline/trellis_cut_layer.py:15-26,
@@ -310,7 +331,7 @@ def trellis_cut(X: np.ndarray, W: np.ndarray,
         return np.zeros(1, dtype=np.int64), 0.0
     d = 1.0 - X.astype(np.float64)
     trees = [linkage_tree_merges(d, lk) for lk in linkages]
-    labels, _ = cut_trellis(build_trellis(trees, n), W)
+    labels, _ = cut_trellis(build_trellis(trees, n), W, ecc=ecc)
     same = labels[:, None] == labels[None, :]
     rounded = W * np.triu(same, k=1)
     obj_ma = float(rounded.sum() - rounded[rounded < 0].sum())

@@ -202,3 +202,36 @@ def test_trellis_energy_dominates_hac_cut_property():
         for lk in ("average", "single", "complete"):
             hl, _ = hac_cut(X, W, linkage=lk)
             assert te >= trellis_energy(hl, W) - 1e-9
+
+
+def test_trellis_cut_exists_constraints_lexicographic():
+    """ECC-aware trellis cut (reference EccClusterer's (num_ecc_sat,
+    energy) lexicographic DP, /root/reference/utils/
+    trellis_helper_fns.py:29-36): the energy optimum splits the anchor
+    from every qualifying doc, but a there-exists constraint forces the
+    cut to a lower-energy clustering that satisfies it."""
+    from ent_res_feedback_ray.stages.correlation import (
+        trellis_cut,
+        trellis_energy,
+    )
+
+    # leaves 0,1 strongly similar; leaf 2 repelled by both
+    W = np.zeros((3, 3))
+    W[0, 1] = 0.8
+    W[0, 2] = -0.3
+    W[1, 2] = -0.3
+    X = np.clip(0.5 + (W + W.T), 0, 1)
+    np.fill_diagonal(X, 1.0)
+
+    free_labels, _ = trellis_cut(X, W)
+    assert free_labels[0] == free_labels[1] != free_labels[2]
+
+    # exists-constraint: cluster of anchor 0 must contain leaf 2
+    ecc = [(0, frozenset({2}))]
+    lab, _ = trellis_cut(X, W, ecc=ecc)
+    assert lab[0] == lab[2]            # satisfied at an energy cost
+    assert trellis_energy(lab, W) < trellis_energy(free_labels, W)
+
+    # unsatisfiable constraint (no qualifying leaf) leaves the cut free
+    lab2, _ = trellis_cut(X, W, ecc=[(0, frozenset())])
+    assert np.array_equal(lab2, free_labels)
