@@ -156,7 +156,14 @@ def join_on_key(
 ) -> ray.data.Dataset:
     """Bucketed cogroup equi-join of two datasets on ``key`` — ONE shuffle
     of the tagged union, per-bucket C-speed pandas merge.  Doc-level
-    companion of ``attach_attrs`` (which joins onto id1/id2 pair rows)."""
+    companion of ``attach_attrs`` (which joins onto id1/id2 pair rows).
+
+    ``how``: "left" / "inner" (pandas merge), or the set-op flavors
+    "semi" / "anti" — left rows whose key does / does not appear on the
+    right, LEFT columns only (the reference's ``set.intersection`` /
+    ``set.difference`` checks as dataflow operators,
+    /root/reference/s2and/data.py:1088-1096, /root/reference/s2and/
+    eval.py:174-179)."""
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
     rcols = [c for c in rsch.names if c != key]
@@ -186,11 +193,46 @@ def join_on_key(
         right.map_batches(_tag_right, batch_format="pandas"))
 
     def _merge(part: pd.DataFrame) -> pd.DataFrame:
-        r = part.loc[part["__is_r"], [key, *rcols]]
         l = part.loc[~part["__is_r"], lcols]
+        if how in ("semi", "anti"):
+            present = l[key].isin(part.loc[part["__is_r"], key])
+            return l[present if how == "semi" else ~present]
+        r = part.loc[part["__is_r"], [key, *rcols]]
         return l.merge(r, on=key, how=how)
 
     return bucketed_group_apply(tagged, key, _merge, num_buckets)
+
+
+def split_disjointness(ds: ray.data.Dataset, unit_col: str,
+                       split_col: str, num_buckets: int = 32
+                       ) -> ray.data.Dataset:
+    """Split-integrity operator: one row per split with
+    (split, n_units, n_leaked) where ``n_leaked`` counts units that also
+    appear in ANOTHER split — dataflow form of the reference's
+    split-disjointness asserts (``set.intersection`` checks,
+    /root/reference/s2and/data.py:1088-1096).  A clean split has
+    n_leaked = 0 everywhere."""
+
+    def _unit_stats(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.drop_duplicates([unit_col, split_col])
+        k = g.groupby(unit_col)[split_col].transform("nunique")
+        return pd.DataFrame({
+            "split": g[split_col],
+            "leaked": (k > 1).to_numpy(),
+        })
+
+    per_unit = bucketed_group_apply(
+        ds.select_columns([unit_col, split_col]), unit_col, _unit_stats,
+        num_buckets)
+
+    def _agg(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("split", as_index=False).agg(
+            n_units=("leaked", "size"), n_leaked=("leaked", "sum"))
+        out["n_units"] = out["n_units"].astype(np.int64)
+        out["n_leaked"] = out["n_leaked"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(per_unit, "split", _agg, num_buckets)
 
 
 def attach_attrs(

@@ -95,3 +95,65 @@ def test_distributed_metrics_match_driver_spec():
     assert abs(m["b3_precision"] - bp) < 1e-12
     assert abs(m["b3_recall"] - br) < 1e-12
     assert m["pair_precision"] == pp and m["pair_recall"] == pr
+
+
+def test_join_on_key_semi_anti():
+    """Semi/anti join modes match pandas set semantics (left columns only)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.shuffleops import join_on_key
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "v": np.arange(10, dtype=np.int64) * 2})
+    right = pd.DataFrame({"k": np.array([2, 3, 5, 7, 7], np.int64),
+                          "w": np.arange(5, dtype=np.int64)})
+    l_ds, r_ds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    semi = join_on_key(l_ds, r_ds, "k", how="semi").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(semi.columns) == ["k", "v"]
+    assert semi["k"].tolist() == [2, 3, 5, 7]     # 7 not duplicated
+
+    anti = join_on_key(l_ds, r_ds, "k", how="anti").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert anti["k"].tolist() == [0, 1, 4, 6, 8, 9]
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_split_disjointness_operator(sf_dir):
+    """Dataflow split-integrity check over the registered split queries:
+    hash_split and block_split are leak-free; a crafted leaky split is
+    flagged with the right counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.pipelines.er import blocked_compact, hash_split
+    from ent_res_feedback_ray.stages.shuffleops import split_disjointness
+
+    hs = split_disjointness(hash_split(sf_dir), "doc_id", "split").to_pandas()
+    assert set(hs["split"]) == {"train", "val", "test"}
+    assert (hs["n_leaked"] == 0).all()
+    assert hs["n_units"].sum() == 500
+
+    # block-level carve: no BLOCK leaks across splits (the property
+    # reference split_blocks_helper guarantees)
+    from ent_res_feedback_ray.pipelines.er import block_split
+
+    bs = split_disjointness(block_split(sf_dir), "block_key", "split") \
+        .to_pandas()
+    assert (bs["n_leaked"] == 0).all()
+
+    leaky = pd.DataFrame({
+        "unit": np.array([1, 1, 2, 3, 3, 3], np.int64),
+        "split": ["train", "test", "train", "train", "train", "val"],
+    })
+    out = split_disjointness(ray.data.from_pandas(leaky), "unit", "split") \
+        .to_pandas().set_index("split")
+    # unit 1 leaks train/test; unit 3 leaks train/val; unit 2 clean
+    assert out.loc["train", "n_units"] == 3
+    assert out.loc["train", "n_leaked"] == 2
+    assert out.loc["test", "n_leaked"] == 1
+    assert out.loc["val", "n_leaked"] == 1
