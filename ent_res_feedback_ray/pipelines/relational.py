@@ -365,7 +365,8 @@ def nation_csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
 
 
 NATION_CSV_SQL = """
-SELECT n_nationkey, n_name, n_regionkey FROM nation
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
 """.strip()
 
 
