@@ -192,6 +192,39 @@ def facet_metrics_dataset(pred_ds: ray.data.Dataset,
     return pd.DataFrame(rows)
 
 
+def facet_metrics_multi(pred_ds: ray.data.Dataset,
+                        gold_ds: ray.data.Dataset,
+                        facet_cols: list[str],
+                        id_col: str = "id", pred_col: str = "pred",
+                        gold_col: str = "gold") -> pd.DataFrame:
+    """All facets in ONE distributed cells pass: the pred side melts to
+    (id, pred, facet, facet_value) rows — 9× the rows, but one join + one
+    bucketed aggregate instead of one full pipeline per facet (a driver
+    correctness run paid ~9× the fixed shuffle latency; the per-facet
+    numbers are identical to :func:`facet_metrics_dataset`)."""
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({id_col: df[id_col], pred_col: df[pred_col],
+                                "facet": f, "facet_value": df[f]})
+                  for f in facet_cols]
+        return pd.concat(frames, ignore_index=True)
+
+    melted = pred_ds.map_batches(_melt, batch_format="pandas")
+    cells = cells_dataset(melted, gold_ds, id_col, pred_col, gold_col,
+                          facet_cols=["facet", "facet_value"])
+    rows = []
+    for f in facet_cols:
+        sub = cells[cells["facet"] == f]
+        for v, grp in sub.groupby("facet_value", sort=True):
+            m = _prf_from_cells(grp, pred_col, gold_col)
+            rows.append({
+                "facet": f, "facet_value": v,
+                "n_docs": int(grp["n_cell"].sum()),
+                "b3_precision": round(m["b3_precision"], 6),
+                "b3_recall": round(m["b3_recall"], 6),
+                "b3_f1": round(m["b3_f1"], 6)})
+    return pd.DataFrame(rows)
+
+
 def min_pair_edit(claims: pd.DataFrame,
                   assign: dict[int, int] | pd.DataFrame) -> tuple[float, int, int]:
     """Greedy minimum cluster-edit repair of a claims set (reference
