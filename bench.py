@@ -58,6 +58,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         else:
             n = len(out)
         timings[name] = round(time.perf_counter() - t0, 3)
+        if os.environ.get("GRAFT_BENCH_STATS") and hasattr(out, "stats"):
+            # per-operator wall-time profile (ds.stats()) to stderr — the
+            # iterate-until-compute-bound feedback loop the brief asks for
+            print(f"=== {name} stats ===\n{out.stats()}", file=sys.stderr)
         return n
 
     def er_e2e():

@@ -116,3 +116,29 @@ def load_alias_pairs(path: str | None) -> "list[tuple[str, str]] | None":
     df = ds.to_pandas()  # side inputs are small by contract
     a, b = df.columns[:2]
     return list(zip(df[a].astype(str), df[b].astype(str)))
+
+
+def maybe_load_json(path_or_obj) -> "dict | list | None":
+    """Dict/None passthrough, else load a JSON document (reference
+    ``maybe_load_json``, /root/reference/s2and/data.py:643-662: pass dicts
+    through, read small JSON side inputs from disk).  For RECORD-oriented
+    JSONL corpora use :func:`read_jsonl_dataset` — this loader is for
+    bounded side inputs (cluster seeds, constraint dumps, configs)."""
+    if path_or_obj is None or isinstance(path_or_obj, (dict, list)):
+        return path_or_obj
+    import json
+
+    with open(path_or_obj) as f:
+        return json.load(f)
+
+
+def read_jsonl_dataset(path: str, columns: list[str] | None = None
+                       ) -> ray.data.Dataset:
+    """Record-oriented JSON(L) corpus → Dataset (the reference corpus format,
+    signatures/papers JSON — /root/reference/s2and/data.py:313-378 —
+    re-expressed as a distributed read): ``ray.data.read_json`` (Arrow JSON
+    reader) + column pruning."""
+    ds = ray.data.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

@@ -138,3 +138,29 @@ def test_asof_join_semantics(sf_dir):
             assert pd.isna(got)
         else:
             assert got == expect
+
+
+def test_json_side_inputs_and_jsonl_corpus(tmp_path):
+    """maybe_load_json passthrough/file modes + JSONL corpus read
+    (reference maybe_load_json, /root/reference/s2and/data.py:643-662)."""
+    import json
+
+    from ent_res_feedback_ray.sources.tables import (
+        maybe_load_json,
+        read_jsonl_dataset,
+    )
+
+    assert maybe_load_json(None) is None
+    d = {"a": 1}
+    assert maybe_load_json(d) is d
+    p = tmp_path / "side.json"
+    p.write_text(json.dumps({"seeds": [[1, 2]]}))
+    assert maybe_load_json(str(p)) == {"seeds": [[1, 2]]}
+
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text('{"doc_id": 1, "text": "alpha", "lang": "en"}\n'
+                  '{"doc_id": 2, "text": "beta", "lang": "fr"}\n')
+    ds = read_jsonl_dataset(str(jl), columns=["doc_id", "lang"])
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.columns) == ["doc_id", "lang"]
+    assert out["lang"].tolist() == ["en", "fr"]
