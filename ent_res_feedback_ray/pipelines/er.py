@@ -1247,13 +1247,17 @@ def block_split(sf_dir: str, seed: int = 23) -> ray.data.Dataset:
                             {"train": 0.8, "test": 0.2}, seed=seed)
 
 
-def hac_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
+def hac_clusters(sf_dir: str, eps: float = 0.5,
+                 scored: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Reference-parity per-block average-linkage HAC cut at eps
-    (rows-only: hierarchical agglomeration is not SQL-expressible)."""
+    (rows-only: hierarchical agglomeration is not SQL-expressible).
+    ``scored``: optionally reuse an already-materialized scored-pair table
+    (hac_cc_clusters shares ONE featurize+score run across HAC/CC/trellis)."""
     from ..stages.clustering import hac_block_clustering
     from ..stages.constraints import apply_constraints_to_distance
 
-    scored = scored_pairs(sf_dir)
+    if scored is None:
+        scored = scored_pairs(sf_dir)
     with_dist = scored.map_batches(
         apply_constraints_to_distance, batch_format="pyarrow")
     clustered = hac_block_clustering(with_dist, eps=eps)
@@ -1288,9 +1292,10 @@ def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     from ..stages.correlation import cc_block_clustering
     from ..stages.shuffleops import join_on_key
 
-    hac = hac_clusters(sf_dir, eps=eps)
+    scored = scored_pairs(sf_dir).materialize()  # ONE featurize+score run
+    hac = hac_clusters(sf_dir, eps=eps, scored=scored)
     cc = cc_block_clustering(
-        scored_pairs(sf_dir), include_trellis=True).map_batches(
+        scored, include_trellis=True).map_batches(
         lambda df: df.rename(columns={"cluster_id": "cc_cluster_id"}),
         batch_format="pandas")
     joined = join_on_key(hac, cc, "id")

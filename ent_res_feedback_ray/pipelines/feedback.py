@@ -33,7 +33,7 @@ import ray.data
 from ..eval.metrics import cluster_metrics_dataset
 from ..stages.features import FEATURE_COLS
 from ..state.checkpoint import is_complete, mark_success, stage_dir, write_checkpoint
-from ..state.model import LogisticScorer, auroc
+from ..state.model import LogisticScorer, auroc, average_precision
 from .er import resolve_pages
 
 
@@ -356,9 +356,10 @@ def run_feedback_rounds(
                 nf = getattr(model, "nan_fill", None)
                 if nf is not None:
                     Xv = np.nan_to_num(Xv, nan=nf)
-                metrics["val_auroc"] = float(auroc(
-                    va["label"].to_numpy(np.float64),
-                    model.predict_proba(Xv)))
+                vy = va["label"].to_numpy(np.float64)
+                vp = model.predict_proba(Xv)
+                metrics["val_auroc"] = float(auroc(vy, vp))
+                metrics["val_ap"] = float(average_precision(vy, vp))
 
         # 7. round checkpoint
         os.makedirs(rdir, exist_ok=True)

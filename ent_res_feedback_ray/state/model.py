@@ -99,6 +99,29 @@ def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     return float((ranks[y_true == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
+def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Average precision (area under the precision-recall curve, step
+    interpolation — sklearn's definition, which the reference's
+    ``pairwise_eval`` reports alongside AUROC,
+    /root/reference/s2and/eval.py:430-607): AP = Σ_k (R_k − R_{k−1})·P_k
+    over descending score thresholds; tied scores enter together."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    n_pos = float(y_true.sum())
+    if len(y_true) == 0 or n_pos == 0:
+        return float("nan")
+    order = np.argsort(-y_score, kind="mergesort")
+    ys, yt = y_score[order], y_true[order]
+    # threshold group boundaries: last index of each tied-score run
+    last = np.nonzero(np.append(ys[1:] != ys[:-1], True))[0]
+    tp = np.cumsum(yt)[last]
+    fp = np.cumsum(1.0 - yt)[last]
+    precision = tp / (tp + fp)
+    recall = tp / n_pos
+    prev_recall = np.concatenate([[0.0], recall[:-1]])
+    return float(((recall - prev_recall) * precision).sum())
+
+
 class VotingScorer:
     """Soft-voting ensemble of fitted scorers (reference ``VotingClassifier``
     prefit-soft mode, /root/reference/s2and/model.py:879-981, and the

@@ -67,3 +67,23 @@ def test_voting_scorer():
     expected = (m1.predict_proba(X) + m2.predict_proba(X)) / 2
     assert np.allclose(p, expected)
     assert auroc(y, p) > 0.9
+
+
+def test_average_precision_goldens():
+    """AP goldens (sklearn step-interpolated definition, the reference's
+    pairwise_eval AP metric): perfect ranking = 1.0; hand-computed mixed
+    case; tied scores enter the threshold sweep together."""
+    import numpy as np
+
+    from ent_res_feedback_ray.state.model import average_precision
+
+    # perfect separation
+    assert average_precision([0, 0, 1, 1], [0.1, 0.2, 0.8, 0.9]) == 1.0
+    # sklearn's doc example: y=[0,0,1,1], scores=[0.1,0.4,0.35,0.8] -> 0.8333...
+    got = average_precision(np.array([0, 0, 1, 1]),
+                            np.array([0.1, 0.4, 0.35, 0.8]))
+    assert np.isclose(got, 0.8333333333333333)
+    # all scores tied: single threshold group -> AP = prevalence
+    assert np.isclose(average_precision([1, 0, 1, 0], [0.5] * 4), 0.5)
+    # degenerate: no positives -> nan
+    assert np.isnan(average_precision([0, 0], [0.1, 0.2]))
