@@ -164,3 +164,38 @@ def test_json_side_inputs_and_jsonl_corpus(tmp_path):
     out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(out.columns) == ["doc_id", "lang"]
     assert out["lang"].tolist() == ["en", "fr"]
+
+
+def test_cli_main_inprocess(tmp_path, sf_dir, synth_pages):
+    """CLI surface (python -m ent_res_feedback_ray): list / query-to-parquet
+    / resolve write real outputs in-process (shares the session Ray)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import ray.data
+
+    from ent_res_feedback_ray.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    assert "er_clusters" in buf.getvalue().split()
+
+    out = str(tmp_path / "q.parquet")
+    with redirect_stdout(io.StringIO()):
+        assert main(["query", "doc_token_counts",
+                     "--sf-dir", sf_dir, "--out", out]) == 0
+    assert ray.data.read_parquet(out).count() == 500
+
+    pages_path, _gold = synth_pages
+    rdir = str(tmp_path / "resolve_out")
+    with redirect_stdout(io.StringIO()):
+        assert main(["resolve", "--pages", pages_path, "--out", rdir]) == 0
+    got = ray.data.read_parquet(rdir, file_extensions=["parquet"])
+    assert got.count() > 0
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(rdir, "_SUCCESS"))
+
+    with redirect_stdout(io.StringIO()):
+        assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
