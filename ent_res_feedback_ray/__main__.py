@@ -96,6 +96,31 @@ def cmd_resolve(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run a config-driven Stage-protocol pipeline: JSON config =
+    [{"stage": name, ...kwargs}, ...] (pipelines/protocol.py), input
+    pages parquet → output parquet checkpoint."""
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.protocol import build_pipeline
+    from .sources.tables import maybe_load_json
+    from .state.checkpoint import write_checkpoint
+
+    config = maybe_load_json(args.config)
+    if not isinstance(config, list):
+        print("pipeline config must be a JSON list of stage dicts",
+              file=sys.stderr)
+        return 2
+    run = build_pipeline(config)
+    ds = ray.data.read_parquet(args.pages, file_extensions=["parquet"])
+    out = run(ds)
+    write_checkpoint(out, args.out)
+    n = ray.data.read_parquet(args.out, file_extensions=["parquet"]).count()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_feedback(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.feedback import run_feedback_rounds
@@ -127,6 +152,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--threshold", type=float, default=0.5)
     r.add_argument("--lsh-only", action="store_true")
 
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--config", required=True)
+    pl.add_argument("--pages", required=True)
+    pl.add_argument("--out", required=True)
+
     f = sub.add_parser("feedback")
     f.add_argument("--pages", required=True)
     f.add_argument("--gold", required=True)
@@ -136,8 +166,8 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--constraints-per-round", type=int, default=0)
 
     args = p.parse_args(argv)
-    return {"list": cmd_list, "query": cmd_query,
-            "resolve": cmd_resolve, "feedback": cmd_feedback}[args.cmd](args)
+    return {"list": cmd_list, "query": cmd_query, "resolve": cmd_resolve,
+            "pipeline": cmd_pipeline, "feedback": cmd_feedback}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,20 @@ def _normalize(**kw) -> Stage:
     return _s
 
 
+@register_stage("add_doc_ids")
+def _add_doc_ids() -> Stage:
+    """Stable doc ids from the url column (skipped if already present)."""
+
+    def _s(ds, ctx):
+        if "doc_id" in (ds.schema().names or []):
+            return ds
+        from .er import add_doc_ids
+
+        return add_doc_ids(ds)
+
+    return _s
+
+
 @register_stage("publish_all_ids")
 def _publish_all_ids(id_col: str = "doc_id") -> Stage:
     """Publish the full id table into ``ctx.params['all_ids']`` (column

@@ -136,3 +136,39 @@ def test_registry_errors_and_custom_stage():
     run = build_pipeline([{"stage": "add_len_col_test"}])
     out = run(ray.data.from_pandas(df)).to_pandas()
     assert (out["text_len"] == df["text"].str.len()).all()
+
+
+def test_cli_pipeline_from_json_config(tmp_path, synth_pages):
+    """python -m ... pipeline --config runs a config-driven variant
+    pipeline end-to-end from a JSON file to a parquet checkpoint."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    import ray.data
+
+    from ent_res_feedback_ray.__main__ import main
+
+    config = [
+        {"stage": "add_doc_ids"},
+        {"stage": "normalize"},
+        {"stage": "publish_all_ids"},
+        {"stage": "key_blocking"},
+        {"stage": "pairs", "carry_cols": ["norm_text", "lang"]},
+        {"stage": "featurize"},
+        {"stage": "linear_score"},
+        {"stage": "constraints"},
+        {"stage": "cluster_transitive"},
+    ]
+    cfg = tmp_path / "pipeline.json"
+    cfg.write_text(json.dumps(config))
+    pages_path, _ = synth_pages
+    out = str(tmp_path / "plout")
+    with redirect_stdout(io.StringIO()):
+        assert main(["pipeline", "--config", str(cfg),
+                     "--pages", pages_path, "--out", out]) == 0
+    got = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    assert set(got.columns) == {"doc_id", "cluster_id"}
+    assert len(got) > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
