@@ -192,6 +192,58 @@ def facet_metrics_dataset(pred_ds: ray.data.Dataset,
     return pd.DataFrame(rows)
 
 
+def _pair_prf_singleton_fix(cells: pd.DataFrame, pred_col: str = "pred",
+                            gold_col: str = "gold") -> tuple[float, float, float]:
+    """Pairwise P/R/F1 with the Levin et al. singleton fix (reference
+    ``cluster_precision_recall_fscore``,
+    /root/reference/s2and/eval.py:723-783): a singleton cluster contributes
+    a SELF-pair, counted as matched iff the doc is a singleton on both
+    sides — all derivable from the cell table: pred/gold pair counts gain
+    one per singleton cluster; matched pairs gain one per cell whose pred
+    AND gold marginals are both 1."""
+    psize = cells.groupby(pred_col)["n_cell"].transform("sum").to_numpy(np.int64)
+    gsize = cells.groupby(gold_col)["n_cell"].transform("sum").to_numpy(np.int64)
+    nc = cells["n_cell"].to_numpy(np.int64)
+
+    def c2(v):
+        return int((v * (v - 1) // 2).sum())
+
+    pred_sizes = cells.groupby(pred_col)["n_cell"].sum().to_numpy(np.int64)
+    gold_sizes = cells.groupby(gold_col)["n_cell"].sum().to_numpy(np.int64)
+    sys_pairs = c2(pred_sizes) + int((pred_sizes == 1).sum())
+    gold_pairs = c2(gold_sizes) + int((gold_sizes == 1).sum())
+    tp = c2(nc) + int(((psize == 1) & (gsize == 1)).sum())
+    p = tp / sys_pairs if sys_pairs else float("nan")
+    r = tp / gold_pairs if gold_pairs else float("nan")
+    f = 0.0 if (np.isnan(p) or np.isnan(r) or p + r == 0) \
+        else 2 * p * r / (p + r)
+    return p, r, f
+
+
+def pairwise_cmacro_dataset(pred_ds: ray.data.Dataset,
+                            gold_ds: ray.data.Dataset,
+                            id_col: str = "id", pred_col: str = "pred",
+                            gold_col: str = "gold",
+                            block_col: str = "block") -> dict:
+    """The reference's 'cmacro' strategy
+    (/root/reference/s2and/eval.py:786-868): pairwise P/R/F1 with the
+    singleton fix computed per BLOCK over the block-restricted
+    sub-partition, then unweighted-averaged across blocks and rounded to 3
+    decimals (the reference's rounding).  ``pred_ds`` carries the block
+    column; one distributed cells pass keyed by block."""
+    cells = cells_dataset(pred_ds, gold_ds, id_col, pred_col, gold_col,
+                          facet_cols=[block_col])
+    ps, rs, fs = [], [], []
+    for _, grp in cells.groupby(block_col, sort=True):
+        p, r, f = _pair_prf_singleton_fix(grp, pred_col, gold_col)
+        ps.append(p)
+        rs.append(r)
+        fs.append(f)
+    return {"pair_cmacro_precision": round(float(np.mean(ps)), 3),
+            "pair_cmacro_recall": round(float(np.mean(rs)), 3),
+            "pair_cmacro_f1": round(float(np.mean(fs)), 3)}
+
+
 def facet_metrics_multi(pred_ds: ray.data.Dataset,
                         gold_ds: ray.data.Dataset,
                         facet_cols: list[str],

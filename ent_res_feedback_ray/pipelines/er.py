@@ -259,10 +259,13 @@ def _gold_assignments_uncached(sf_dir: str,
 
 
 def er_quality(sf_dir: str) -> pd.DataFrame:
-    """One-row quality report: pairwise P/R/F1 + B³ of the blocked pipeline's
-    clusters vs the brute-force gold components.  Both assignment tables stay
-    distributed through the metric join (eval.metrics.cells_dataset)."""
-    from ..eval.metrics import cluster_metrics_dataset
+    """One-row quality report: pairwise P/R/F1 ('clusters' strategy), the
+    reference's per-block 'cmacro' strategy with the singleton fix
+    (/root/reference/s2and/eval.py:786-868), and B³ — the blocked
+    pipeline's clusters vs the brute-force gold components.  All assignment
+    tables stay distributed through the metric joins."""
+    from ..eval.metrics import cluster_metrics_dataset, pairwise_cmacro_dataset
+    from ..stages.shuffleops import join_on_key
 
     pred = clusters(sf_dir).map_batches(
         lambda df: pd.DataFrame({"id": df["doc_id"], "pred": df["cluster_id"]}),
@@ -271,9 +274,20 @@ def er_quality(sf_dir: str) -> pd.DataFrame:
         lambda df: pd.DataFrame({"id": df["node"], "gold": df["label"]}),
         batch_format="pandas")
     m = cluster_metrics_dataset(pred, gold)
+    pred_blocked = join_on_key(
+        pred,
+        blocked_compact(sf_dir).map_batches(
+            lambda df: pd.DataFrame({"id": df["doc_id"],
+                                     "block": df["block_key"]}),
+            batch_format="pandas"),
+        "id", how="inner")
+    cm = pairwise_cmacro_dataset(pred_blocked, gold)
     return pd.DataFrame({
         "pair_precision": [m["pair_precision"]],
         "pair_recall": [m["pair_recall"]], "pair_f1": [m["pair_f1"]],
+        "pair_cmacro_precision": [cm["pair_cmacro_precision"]],
+        "pair_cmacro_recall": [cm["pair_cmacro_recall"]],
+        "pair_cmacro_f1": [cm["pair_cmacro_f1"]],
         "b3_precision": [round(m["b3_precision"], 6)],
         "b3_recall": [round(m["b3_recall"], 6)],
         "b3_f1": [round(m["b3_f1"], 6)],

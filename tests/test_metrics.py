@@ -129,3 +129,60 @@ def test_facet_eval_nine_facets(sf_dir):
     for facet in ("homonymity_bucket", "synonymity_bucket"):
         vals = out.loc[out["facet"] == facet, "facet_value"].astype(float)
         assert ((vals >= 0) & (vals <= 1)).all()
+
+
+def test_pairwise_cmacro_matches_reference_semantics():
+    """cmacro (per-block pairwise PRF with the Levin singleton fix, averaged
+    across blocks) matches a pure-Python replication of the reference
+    algorithm (/root/reference/s2and/eval.py:723-868) on a corpus with
+    singletons, merged and split clusters."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.eval.metrics import pairwise_cmacro_dataset
+
+    rng = np.random.default_rng(9)
+    n = 60
+    ids = np.arange(n)
+    gold = rng.integers(0, 18, n)          # some singletons
+    pred = gold.copy()
+    flip = rng.random(n) < 0.25            # perturb: splits + merges
+    pred[flip] = rng.integers(18, 30, int(flip.sum()))
+    block = rng.integers(0, 5, n)
+
+    pred_ds = ray.data.from_pandas(pd.DataFrame(
+        {"id": ids, "pred": pred, "block": block}))
+    gold_ds = ray.data.from_pandas(pd.DataFrame({"id": ids, "gold": gold}))
+    got = pairwise_cmacro_dataset(pred_ds, gold_ds)
+
+    # pure-python reference replication
+    def pairs_of(groups):
+        out = set()
+        for members in groups.values():
+            ms = sorted(members)
+            if len(ms) == 1:
+                out.add((ms[0], ms[0]))
+                continue
+            for i in range(len(ms) - 1):
+                for j in range(i + 1, len(ms)):
+                    out.add((ms[i], ms[j]))
+        return out
+
+    mp = mr = mf = 0.0
+    blocks = sorted(set(block))
+    for b in blocks:
+        sel = block == b
+        gt, pr = {}, {}
+        for i in ids[sel]:
+            gt.setdefault(gold[i], []).append(i)
+            pr.setdefault(pred[i], []).append(i)
+        gp, sp = pairs_of(gt), pairs_of(pr)
+        p = len(gp & sp) / len(sp)
+        r = len(gp & sp) / len(gp)
+        f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+        mp += p; mr += r; mf += f
+    k = len(blocks)
+    assert got["pair_cmacro_precision"] == round(mp / k, 3)
+    assert got["pair_cmacro_recall"] == round(mr / k, 3)
+    assert got["pair_cmacro_f1"] == round(mf / k, 3)
