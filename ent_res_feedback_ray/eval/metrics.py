@@ -192,6 +192,50 @@ def facet_metrics_dataset(pred_ds: ray.data.Dataset,
     return pd.DataFrame(rows)
 
 
+def b3_skipset_dataset(pred_ds: ray.data.Dataset,
+                       gold_ds: ray.data.Dataset,
+                       id_col: str = "id", pred_col: str = "pred",
+                       gold_col: str = "gold",
+                       eval_col: str = "is_eval") -> dict:
+    """Skip-set B³ — the reference's incremental-evaluation variant
+    (/root/reference/s2and/eval.py:616-720 with ``skip_signatures``):
+    per-mention precision/recall use the FULL cluster compositions, but the
+    mean runs only over the non-skipped (eval) mentions.  In cell terms:
+    Σ_cells n_eval·(n_cell/size) / Σ n_eval, with full-count marginals —
+    one distributed join + aggregate carrying an eval indicator; 3-decimal
+    rounding like the reference."""
+    from ..stages.shuffleops import bucketed_aggregate
+
+    left = pred_ds.select_columns([id_col, pred_col, eval_col])
+    right = gold_ds.select_columns([id_col, gold_col]).map_batches(
+        lambda df: df.rename(columns={id_col: "__gold_id"}),
+        batch_format="pandas")
+    j = left.join(right, "inner", num_partitions=16,
+                  on=(id_col,), right_on=("__gold_id",))
+    keys = [pred_col, gold_col]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            n_cell=(eval_col, "size"), n_eval=(eval_col, "sum"))
+
+    cells = bucketed_aggregate(
+        j.map_batches(_partial, batch_format="pandas"), keys,
+        n_cell=("n_cell", "sum"), n_eval=("n_eval", "sum")).to_pandas()
+    n_eval = float(cells["n_eval"].sum())
+    if n_eval == 0:
+        return {"b3_precision": float("nan"), "b3_recall": float("nan"),
+                "b3_f1": float("nan"), "n_eval": 0}
+    psize = cells.groupby(pred_col)["n_cell"].transform("sum").to_numpy(np.float64)
+    gsize = cells.groupby(gold_col)["n_cell"].transform("sum").to_numpy(np.float64)
+    nc = cells["n_cell"].to_numpy(np.float64)
+    ne = cells["n_eval"].to_numpy(np.float64)
+    p = float((ne * nc / psize).sum() / n_eval)
+    r = float((ne * nc / gsize).sum() / n_eval)
+    f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return {"b3_precision": round(p, 3), "b3_recall": round(r, 3),
+            "b3_f1": round(f, 3), "n_eval": int(n_eval)}
+
+
 def _pair_prf_singleton_fix(cells: pd.DataFrame, pred_col: str = "pred",
                             gold_col: str = "gold") -> tuple[float, float, float]:
     """Pairwise P/R/F1 with the Levin et al. singleton fix (reference

@@ -186,3 +186,48 @@ def test_pairwise_cmacro_matches_reference_semantics():
     assert got["pair_cmacro_precision"] == round(mp / k, 3)
     assert got["pair_cmacro_recall"] == round(mr / k, 3)
     assert got["pair_cmacro_f1"] == round(mf / k, 3)
+
+
+def test_b3_skipset_matches_reference_semantics():
+    """Skip-set B³ (incremental eval): per-mention values use FULL cluster
+    compositions, the mean runs over eval mentions only — parity with a
+    pure-Python replication of /root/reference/s2and/eval.py:616-720."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.eval.metrics import b3_skipset_dataset
+
+    rng = np.random.default_rng(11)
+    n = 80
+    ids = np.arange(n)
+    gold = rng.integers(0, 20, n)
+    pred = gold.copy()
+    flip = rng.random(n) < 0.3
+    pred[flip] = rng.integers(20, 35, int(flip.sum()))
+    skip = rng.random(n) < 0.4          # "observed" mentions
+
+    got = b3_skipset_dataset(
+        ray.data.from_pandas(pd.DataFrame(
+            {"id": ids, "pred": pred, "is_eval": ~skip})),
+        ray.data.from_pandas(pd.DataFrame({"id": ids, "gold": gold})))
+
+    # reference replication
+    pc, gc = {}, {}
+    for i in ids:
+        pc.setdefault(pred[i], set()).add(i)
+        gc.setdefault(gold[i], set()).add(i)
+    eval_ids = [i for i in ids if not skip[i]]
+    P = R = 0.0
+    for i in eval_ids:
+        pi, gi = pc[pred[i]], gc[gold[i]]
+        inter = len(pi & gi)
+        P += inter / len(pi)
+        R += inter / len(gi)
+    P /= len(eval_ids)
+    R /= len(eval_ids)
+    F = 0.0 if P + R == 0 else 2 * P * R / (P + R)
+    assert got["b3_precision"] == round(P, 3)
+    assert got["b3_recall"] == round(R, 3)
+    assert got["b3_f1"] == round(F, 3)
+    assert got["n_eval"] == len(eval_ids)
