@@ -138,8 +138,21 @@ def _prf_from_cells(cells: pd.DataFrame, pred_col: str = "pred",
     pr = tp / gold_pairs if gold_pairs else float("nan")
     pf = (2 * tp / (pred_pairs + gold_pairs)
           if (pred_pairs + gold_pairs) else float("nan"))
+    # over/under-merge ratios (reference b3_precision_recall_fscore's
+    # pred_bigger_ratios / true_bigger_ratios, /root/reference/s2and/
+    # eval.py:683-692): per MENTION, |pred|/|gold| when pred ≥ gold else
+    # |gold|/|pred| — mention-weighted means from the cell table
+    over = psize >= gsize
+    w_over = nc[over].sum()
+    w_under = nc[~over].sum()
+    over_mean = (float((nc[over] * psize[over] / gsize[over]).sum() / w_over)
+                 if w_over else float("nan"))
+    under_mean = (float((nc[~over] * gsize[~over] / psize[~over]).sum()
+                        / w_under) if w_under else float("nan"))
     return {"b3_precision": prec, "b3_recall": rec, "b3_f1": bf,
-            "pair_precision": pp, "pair_recall": pr, "pair_f1": pf}
+            "pair_precision": pp, "pair_recall": pr, "pair_f1": pf,
+            "pred_bigger_ratio": over_mean, "pred_bigger_n": int(w_over),
+            "true_bigger_ratio": under_mean, "true_bigger_n": int(w_under)}
 
 
 def cluster_metrics_dataset(pred_ds: ray.data.Dataset,

@@ -231,3 +231,39 @@ def test_b3_skipset_matches_reference_semantics():
     assert got["b3_recall"] == round(R, 3)
     assert got["b3_f1"] == round(F, 3)
     assert got["n_eval"] == len(eval_ids)
+
+
+def test_over_under_merge_ratios_reference_parity():
+    """pred_bigger / true_bigger ratio means match the reference's
+    per-mention lists (/root/reference/s2and/eval.py:683-692)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.eval.metrics import cluster_metrics_dataset
+
+    rng = np.random.default_rng(13)
+    n = 50
+    ids = np.arange(n)
+    gold = rng.integers(0, 12, n)
+    pred = gold.copy()
+    flip = rng.random(n) < 0.3
+    pred[flip] = rng.integers(12, 20, int(flip.sum()))
+
+    m = cluster_metrics_dataset(
+        ray.data.from_pandas(pd.DataFrame({"id": ids, "pred": pred})),
+        ray.data.from_pandas(pd.DataFrame({"id": ids, "gold": gold})))
+
+    pc, gc = {}, {}
+    for i in ids:
+        pc.setdefault(pred[i], set()).add(i)
+        gc.setdefault(gold[i], set()).add(i)
+    overs, unders = [], []
+    for i in ids:
+        lp, lg = len(pc[pred[i]]), len(gc[gold[i]])
+        (overs if lp >= lg else unders).append(
+            lp / lg if lp >= lg else lg / lp)
+    assert np.isclose(m["pred_bigger_ratio"], np.mean(overs))
+    assert np.isclose(m["true_bigger_ratio"], np.mean(unders))
+    assert m["pred_bigger_n"] == len(overs)
+    assert m["true_bigger_n"] == len(unders)
