@@ -51,7 +51,7 @@ def tune_score_threshold(
     gold_map = gold.rename(columns={gold.columns[0]: "id", gold.columns[1]: "gold"})
 
     rows = []
-    best = (None, -1.0)
+    best = (None, -np.inf)
     for th in candidates:
         keep = (scores >= th) | sp["__forced"].to_numpy()
         nodes, labels = unionfind_labels(
@@ -62,8 +62,19 @@ def tune_score_threshold(
         pred = pd.DataFrame({"id": nodes, "pred": labels})
         bp, br, bf = b3_prf(pred, gold_map)
         pp, pr, pf = pairwise_prf(pred, gold_map)
-        value = {"b3_f1": bf, "pair_f1": pf}[metric]
-        rows.append({"threshold": float(th), "b3_f1": bf, "pair_f1": pf})
+        # reference's second objective (metric_for_hyperopt="ratio",
+        # /root/reference/s2and/model.py:357,409-412): MINIMIZE the mean
+        # per-mention over/under-merge ratio — expressed here as maximizing
+        # its negation so one comparison rule serves all metrics
+        j = pred.merge(gold_map, on="id")
+        psz = j.groupby("pred")["id"].transform("size").to_numpy(np.float64)
+        gsz = j.groupby("gold")["id"].transform("size").to_numpy(np.float64)
+        ratio = float(np.where(psz >= gsz, psz / gsz, gsz / psz).mean()) \
+            if len(j) else float("nan")
+        value = {"b3_f1": bf, "pair_f1": pf,
+                 "ratio": -ratio if not np.isnan(ratio) else -np.inf}[metric]
+        rows.append({"threshold": float(th), "b3_f1": bf, "pair_f1": pf,
+                     "merge_ratio": ratio})
         if value > best[1]:
             best = (float(th), value)
     return best[0], pd.DataFrame(rows)

@@ -87,3 +87,28 @@ def test_average_precision_goldens():
     assert np.isclose(average_precision([1, 0, 1, 0], [0.5] * 4), 0.5)
     # degenerate: no positives -> nan
     assert np.isnan(average_precision([0, 0], [0.1, 0.2]))
+
+
+def test_tune_threshold_ratio_objective():
+    """metric='ratio' minimizes the mean over/under-merge ratio (reference
+    metric_for_hyperopt='ratio'): on a planted instance the perfect
+    threshold reaches ratio 1.0 and is selected."""
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.state.tuning import tune_score_threshold
+
+    # two gold clusters {0,1,2}, {3,4}; scores separate cleanly at 0.6
+    pairs = pd.DataFrame({
+        "id1": [0, 0, 1, 3, 0, 1, 2],
+        "id2": [1, 2, 2, 4, 3, 4, 4],
+        "score": [0.9, 0.8, 0.85, 0.9, 0.2, 0.1, 0.3],
+    })
+    gold = pd.DataFrame({"node": [0, 1, 2, 3, 4],
+                         "gold": [7, 7, 7, 8, 8]})
+    th, trials = tune_score_threshold(
+        pairs, gold, np.arange(5, dtype=np.int64), metric="ratio")
+    assert "merge_ratio" in trials.columns
+    best_row = trials.loc[trials["threshold"] == th]
+    assert np.isclose(best_row["merge_ratio"].iloc[0], 1.0)
+    assert np.isclose(best_row["b3_f1"].iloc[0], 1.0)
