@@ -6,4 +6,7 @@ features → score → constraints → transitive clustering → eval).
 windows, top-k) over the star schema.
 ``feedback`` — checkpointed active-learning rounds (reference ``simulate``
 loop, /root/reference/ecc/ecc.py:787-900).
+``protocol`` — the formal Stage extension surface: a registry of
+``(Dataset, Ctx) -> Dataset`` stages + ``build_pipeline(config)`` so
+blocking/scoring/clustering variants are config edits.
 """
