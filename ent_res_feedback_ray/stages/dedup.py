@@ -544,3 +544,100 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
 FROM marked GROUP BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint near-dup (MOSS-style copy detection — Schleimer
+# et al., SIGMOD'03; the practical substring-overlap detector alongside the
+# set-similarity family above)
+# ---------------------------------------------------------------------------
+
+def winnow_dedup_pairs(sf_dir: str, min_shared: int = 3,
+                       min_overlap: float = 0.5, k: int = 16,
+                       window: int = 8,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Pairs of docs sharing winnowed k-gram fingerprints: candidates =
+    docs co-occurring on ≥ ``min_shared`` fingerprints, kept when the
+    containment overlap |F₁∩F₂| / min(|F₁|,|F₂|) ≥ ``min_overlap``.
+
+    Distributed shape (no all-pairs step): per-doc fingerprints
+    (map_batches) → (fp, doc) explode → per-fingerprint pair emission
+    (groupby shuffle, hub fingerprints capped by the pair budget) →
+    per-pair shared-count aggregate → overlap verify against the broadcast
+    per-doc fingerprint counts.  Output: (id1, id2, shared, overlap)."""
+    from ..functions.hashing import rolling_fingerprints
+    from .shuffleops import bucketed_aggregate
+
+    ds = _norm_docs(sf_dir).select_columns(["doc_id", "norm_text"])
+
+    def _fps(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        norms = t.column("norm_text").to_pylist()
+        fps = [rolling_fingerprints(s or "", k=k, window=window)
+               for s in norms]
+        lens = np.fromiter((len(f) for f in fps), np.int64, count=len(fps))
+        # fingerprints are uint64-range ints — reinterpret as int64 keys
+        flat = (np.concatenate(
+            [np.asarray(f, np.uint64).astype(np.int64) for f in fps])
+            if lens.sum() else np.empty(0, np.int64))
+        return pd.DataFrame({
+            "fp": flat,
+            "doc_id": np.repeat(ids.astype(np.int64), lens),
+        })
+
+    exploded = ds.map_batches(_fps, batch_format="pyarrow")
+
+    # per-doc fingerprint counts (for the containment denominator) — small:
+    # one int per doc, broadcast once
+    counts = bucketed_aggregate(
+        exploded.map_batches(
+            lambda df: df.groupby("doc_id", as_index=False).agg(
+                nfp=("fp", "size")),
+            batch_format="pandas"),
+        "doc_id", nfp=("nfp", "sum")).to_pandas()
+    import ray as _ray
+
+    cref = _ray.put((counts["doc_id"].to_numpy(np.int64),
+                     counts["nfp"].to_numpy(np.int64)))
+
+    def _fp_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out1, out2 = [], []
+        for _, grp in part.groupby("fp", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2 or len(ids) > 200:   # hub fingerprint guard
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            out1.append(ids[iu[0]])
+            out2.append(ids[iu[1]])
+        if not out1:
+            return pd.DataFrame({"id1": np.empty(0, np.int64),
+                                 "id2": np.empty(0, np.int64)})
+        return pd.DataFrame({"id1": np.concatenate(out1),
+                             "id2": np.concatenate(out2)})
+
+    from .shuffleops import bucketed_group_apply
+
+    cand = bucketed_group_apply(exploded, "fp", _fp_pairs, num_buckets)
+    shared = bucketed_aggregate(
+        cand.map_batches(
+            lambda df: df.groupby(["id1", "id2"], as_index=False).agg(
+                shared=("id1", "size")),
+            batch_format="pandas"),
+        ["id1", "id2"], shared=("shared", "sum"))
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        from .shuffleops import _broadcast_get
+
+        na, nf = _broadcast_get(cref)
+        i1 = df["id1"].to_numpy(np.int64)
+        i2 = df["id2"].to_numpy(np.int64)
+        sh = df["shared"].to_numpy(np.int64)
+        n1 = nf[np.searchsorted(na, i1)]
+        n2 = nf[np.searchsorted(na, i2)]
+        ov = sh / np.minimum(n1, n2)
+        keep = (sh >= min_shared) & (ov >= min_overlap)
+        return pd.DataFrame({"id1": i1[keep], "id2": i2[keep],
+                             "shared": sh[keep],
+                             "overlap": ov[keep]})
+
+    return shared.map_batches(_verify, batch_format="pandas")

@@ -93,3 +93,39 @@ def test_paragraph_dedup_matches_duckdb_twin():
         out.astype({"n_paras": "int64", "n_dropped": "int64"}),
         ora.astype({"n_paras": "int64", "n_dropped": "int64"}))
     assert (out["n_dropped"] > 0).any()
+
+
+def test_winnow_dedup_pairs_planted(tmp_path):
+    """Winnowing-fingerprint near-dup: a doc sharing a long verbatim span
+    with another is flagged with high containment overlap; unrelated docs
+    are not."""
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.stages.dedup import winnow_dedup_pairs
+
+    span = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before sunrise " * 3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            span + " unique tail alpha content here",
+            "different opening words " + span,
+            "totally unrelated document about quarterly earnings and "
+            "financial statements for the fiscal year " * 3,
+            "another unrelated piece on cooking pasta with fresh basil "
+            "and ripe tomatoes from the garden " * 3,
+        ],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [0] * 4,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+    out = winnow_dedup_pairs(str(sf)).to_pandas()
+    pairs = set(zip(out["id1"], out["id2"]))
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+    row = out.set_index(["id1", "id2"]).loc[(0, 1)]
+    assert row["overlap"] >= 0.5
