@@ -587,18 +587,17 @@ def winnow_dedup_pairs(sf_dir: str, min_shared: int = 3,
 
     exploded = ds.map_batches(_fps, batch_format="pyarrow")
 
-    # per-doc fingerprint counts (for the containment denominator) — small:
-    # one int per doc, broadcast once
+    # per-doc fingerprint counts (the containment denominator) stay a
+    # Dataset: attach_attrs broadcasts below its dimension limit and
+    # switches to the bucketed cogroup join above it — the count table is
+    # O(docs), so a blind driver/broadcast pull would be the token_df_dict
+    # anti-pattern all over again
     counts = bucketed_aggregate(
         exploded.map_batches(
             lambda df: df.groupby("doc_id", as_index=False).agg(
                 nfp=("fp", "size")),
             batch_format="pandas"),
-        "doc_id", nfp=("nfp", "sum")).to_pandas()
-    import ray as _ray
-
-    cref = _ray.put((counts["doc_id"].to_numpy(np.int64),
-                     counts["nfp"].to_numpy(np.int64)))
+        "doc_id", nfp=("nfp", "sum"))
 
     def _fp_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out1, out2 = [], []
@@ -625,19 +624,18 @@ def winnow_dedup_pairs(sf_dir: str, min_shared: int = 3,
             batch_format="pandas"),
         ["id1", "id2"], shared=("shared", "sum"))
 
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        from .shuffleops import _broadcast_get
+    from .shuffleops import attach_attrs
 
-        na, nf = _broadcast_get(cref)
-        i1 = df["id1"].to_numpy(np.int64)
-        i2 = df["id2"].to_numpy(np.int64)
+    wide = attach_attrs(shared, counts, id_col="doc_id", attr_cols=["nfp"])
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["shared"].to_numpy(np.int64)
-        n1 = nf[np.searchsorted(na, i1)]
-        n2 = nf[np.searchsorted(na, i2)]
-        ov = sh / np.minimum(n1, n2)
+        ov = sh / np.minimum(df["nfp1"].to_numpy(np.float64),
+                             df["nfp2"].to_numpy(np.float64))
         keep = (sh >= min_shared) & (ov >= min_overlap)
-        return pd.DataFrame({"id1": i1[keep], "id2": i2[keep],
+        return pd.DataFrame({"id1": df["id1"].to_numpy(np.int64)[keep],
+                             "id2": df["id2"].to_numpy(np.int64)[keep],
                              "shared": sh[keep],
                              "overlap": ov[keep]})
 
-    return shared.map_batches(_verify, batch_format="pandas")
+    return wide.map_batches(_verify, batch_format="pandas")
