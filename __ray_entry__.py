@@ -27,7 +27,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ent_res_feedback_ray.pipelines import er, relational
-    from ent_res_feedback_ray.stages import dedup, multimodal, similarity, textstats
+    from ent_res_feedback_ray.stages import (curation, dedup, multimodal,
+                                             similarity, textstats)
 
     q: dict[str, Callable[[str], Any]] = {
         # --- entity resolution (SURVEY.md §2.2/§2.5/§2.7/§2.10) ---
@@ -86,24 +87,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup_groups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash_pairs,
+        # (dedup_simhash retired from the registry — 50-query driver window;
+        # its Hamming-verify parity stays pinned by tests/test_dedup.py and
+        # the segmented-sketch tests.  pii_redaction takes the slot with a
+        # bit-exact RE2 twin.)
         "dedup_embedding": dedup.embedding_dup_pairs,
         # (dedup_embedding_ivf retired from the registry — 50-query driver
         # window; its recall ≥0.9 vs the exact operator stays pinned by
         # tests/test_similarity_scale.py.  paragraph_dedup takes the slot
         # with a bit-exact window-function oracle.)
         "paragraph_dedup": dedup.paragraph_dedup_docs,
-        # --- similarity search (lsh+ivf share one tagged query: 50-query cap) ---
+        # --- similarity search ---
         "ann_topk": similarity.ann_topk_bruteforce,
-        "ann_topk_approx": similarity.ann_topk_approx,
+        # (ann_topk_approx retired from the registry — 50-query driver
+        # window; lsh+ivf recall ≥0.9 vs brute force stays pinned by
+        # tests/test_similarity_scale.py.  decontaminate_13gram takes the
+        # slot with a bit-exact n-gram-collision twin.)
         "embedding_centroids": similarity.embedding_centroids,
+        # --- training-data curation ---
+        "pii_redaction": curation.pii_redaction,
+        "decontaminate_13gram": lambda sf: curation.decontaminate_docs(
+            sf, n=13, bench_mod=17),
     }
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     from ent_res_feedback_ray.pipelines import er, relational
-    from ent_res_feedback_ray.stages import dedup, multimodal, similarity, textstats
+    from ent_res_feedback_ray.stages import (curation, dedup, multimodal,
+                                             similarity, textstats)
 
     out = dict(er.oracle_queries())
     out.update({
@@ -132,7 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textstats.LANG_ID_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "pages_binary_metadata": multimodal.PAGES_BINARY_META_SQL,
-        # rows-only (non-SQL-expressible): er_quality, dedup_simhash,
-        # ann_topk_approx, embedding_centroids
+        "pii_redaction": curation.PII_REDACTION_SQL,
+        "decontaminate_13gram": curation.decontaminate_sql(n=13, bench_mod=17),
+        # rows-only (non-SQL-expressible): er_quality, embedding_centroids, …
     })
     return out

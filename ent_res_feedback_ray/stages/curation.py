@@ -1,0 +1,293 @@
+"""Training-data curation stages: PII redaction and benchmark
+decontamination over the documents table.
+
+These extend the reference's corpus-hygiene surface (text cleaning in
+/root/reference/s2and/text.py:1-60, dataset filtering in
+/root/reference/s2and/data.py:279-320) with the two curation passes every
+large-scale LM data pipeline runs before training:
+
+* ``pii_redaction`` — RE2-regex detection + redaction of emails / phone
+  numbers / IPv4 addresses, fully vectorized (one `pyarrow.compute` pass
+  per pattern, no Python row loop).  The synthetic documents table contains
+  no natural PII, so the registered query first PLANTS deterministic
+  doc_id-derived PII strings (the same projection is applied in the DuckDB
+  twin) so the oracle exercises real matches end to end.
+* ``decontaminate`` — n-gram-overlap decontamination against a benchmark
+  subset (GPT-3 appendix-C style 13-gram collision check): the benchmark
+  side's distinct n-gram hashes are assembled INSIDE a Ray task (the
+  driver only ever holds an ObjectRef), broadcast once via the object
+  store, and every corpus batch counts its distinct n-grams that collide
+  via a vectorized searchsorted — no shuffle, no driver materialization.
+  Benchmark sets are small by definition; a loud cap guards the broadcast.
+
+Scale notes (100 TB): both stages are embarrassingly parallel map_batches
+passes.  PII redaction holds no state at all; decontamination broadcasts
+one sorted uint64 array (8 bytes per distinct benchmark n-gram — a 1M-doc
+benchmark suite is ~0.5 GiB, read zero-copy from plasma by every actor).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import _FNV_PRIME, fnv1a64
+from ..functions.textnorm import normalize_text_array
+from ..sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# One pattern string per PII class, shared verbatim by the pyarrow kernels
+# and the DuckDB twin — both engines are RE2, so match semantics agree.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d\-]{5,}\d"
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Count and redact emails / IPv4s / phone numbers in ``text_col``.
+
+    Counts are per-pattern over the ORIGINAL text; redaction applies
+    email → ip → phone (the patterns are disjoint on any one span, so the
+    order only matters for determinism).  Output keeps every input column
+    except ``text_col``, plus n_emails / n_ips / n_phones / redacted_text.
+    """
+
+    def _redact(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        cols = {c: t.column(c) for c in t.column_names if c != text_col}
+        for name, pat in (("n_emails", EMAIL_RE), ("n_ips", IP_RE),
+                          ("n_phones", PHONE_RE)):
+            cols[name] = pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+        red = pc.replace_substring_regex(txt, EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, IP_RE, "<IP>")
+        red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+        cols["redacted_text"] = red
+        return pa.table(cols)
+
+    return ds.map_batches(_redact, batch_format="pyarrow")
+
+
+def _plant_pii(t: pa.Table) -> pa.Table:
+    """Deterministically append doc_id-derived PII strings to `text` —
+    email on doc_id%2==0, phone on %3==0, IPv4 on %5==0 — so the oracle
+    run has real matches to find.  Mirrored exactly in PII_REDACTION_SQL."""
+    ids = t.column("doc_id").combine_chunks()
+    ids_np = np.asarray(ids)
+    s = pc.cast(ids, pa.string())
+
+    def _part(mask: np.ndarray, arr) -> pa.Array:
+        return pc.if_else(pa.array(mask), arr, pa.scalar(""))
+
+    email = _part(ids_np % 2 == 0, pc.binary_join_element_wise(
+        " contact user", s, "@example.com", ""))
+    phone = _part(ids_np % 3 == 0, pc.binary_join_element_wise(
+        " call +1-555-", pc.cast(pa.array(ids_np % 10000), pa.string()), ""))
+    ip = _part(ids_np % 5 == 0, pc.binary_join_element_wise(
+        " host 10.", pc.cast(pa.array(ids_np % 256), pa.string()),
+        ".", pc.cast(pa.array((ids_np // 7) % 256), pa.string()),
+        ".", pc.cast(pa.array((ids_np // 13) % 256), pa.string()), ""))
+    planted = pc.binary_join_element_wise(t.column("text"), email, phone, ip, "")
+    return pa.table({"doc_id": ids, "text": planted})
+
+
+def pii_redaction(sf_dir: str) -> ray.data.Dataset:
+    """Registered query: plant deterministic PII into the documents table,
+    then run the redaction stage.  (doc_id, n_emails, n_ips, n_phones,
+    redacted_text)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return redact_pii(ds.map_batches(_plant_pii, batch_format="pyarrow"))
+
+
+PII_REDACTION_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id // 13) % 256 AS VARCHAR)
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{EMAIL}')) AS n_emails,
+  len(regexp_extract_all(t, '{IP}')) AS n_ips,
+  len(regexp_extract_all(t, '{PHONE}')) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL}', '<EMAIL>', 'g'),
+      '{IP}', '<IP>', 'g'),
+      '{PHONE}', '<PHONE>', 'g') AS redacted_text
+FROM planted
+""".strip().replace("{EMAIL}", EMAIL_RE).replace("{IP}", IP_RE) \
+    .replace("{PHONE}", PHONE_RE)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram collision check)
+# ---------------------------------------------------------------------------
+
+# Loud guard on the broadcast: 64M distinct benchmark n-grams = 512 MiB.
+BENCH_NGRAM_CAP = 64_000_000
+
+
+def _doc_distinct_ngram_hashes(norm_texts: list, n: int
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, gram_hash) for the DISTINCT word n-grams of each
+    normalized text — flat split, one fnv pass over all tokens, an
+    (n-1)-step vectorized rolling combine, then lexsort segment-dedup.
+    No per-row Python beyond str.split."""
+    tok_lists = [s.split() for s in norm_texts]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                       count=len(tok_lists))
+    m = int(lens.sum())
+    if m < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = fnv1a64(list(chain.from_iterable(tok_lists)))
+    doc = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    acc = h[: m - n + 1].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            acc ^= h[j: j + acc.size]
+            acc *= _FNV_PRIME
+    valid = doc[: m - n + 1] == doc[n - 1:]
+    g, gdoc = acc[valid], doc[: m - n + 1][valid]
+    if not g.size:
+        return gdoc, g
+    order = np.lexsort((g, gdoc))
+    g, gdoc = g[order], gdoc[order]
+    first = np.concatenate(
+        [[True], (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])])
+    return gdoc[first], g[first]
+
+
+@ray.remote
+def _merge_bench_hashes(cap: int, *blocks) -> np.ndarray:
+    """Merge per-block distinct-hash tables into one sorted unique uint64
+    array — runs as a Ray task so the driver never holds the set."""
+    parts = [np.asarray(b.column("h")) for b in blocks if b.num_rows]
+    if not parts:
+        return np.empty(0, np.uint64)
+    merged = np.unique(np.concatenate(parts))
+    if merged.size > cap:
+        raise ValueError(
+            f"benchmark n-gram set has {merged.size} distinct grams "
+            f"(cap {cap}); decontamination broadcasts the set — "
+            "shard the benchmark or raise BENCH_NGRAM_CAP deliberately")
+    return merged
+
+
+class _DecontaminateBatch:
+    """Actor-pool stage: benchmark hash set fetched from plasma once per
+    actor (zero-copy), then per-batch vectorized searchsorted membership."""
+
+    def __init__(self, bench_ref, n: int, bench_mod: int):
+        self.bench = ray.get(bench_ref)
+        self.n = n
+        self.bench_mod = bench_mod
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        keep = ids % self.bench_mod != 0
+        sub = t.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_overlap_ngrams": pa.array([], pa.int64()),
+                             "contaminated": pa.array([], pa.bool_())})
+        norm = normalize_text_array(sub.column("text")).to_pylist()
+        gdoc, g = _doc_distinct_ngram_hashes(norm, self.n)
+        counts = np.zeros(sub.num_rows, dtype=np.int64)
+        if g.size and self.bench.size:
+            idx = np.searchsorted(self.bench, g)
+            idx_c = np.minimum(idx, self.bench.size - 1)
+            hit = self.bench[idx_c] == g
+            counts = np.bincount(gdoc[hit], minlength=sub.num_rows)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_overlap_ngrams": pa.array(counts, pa.int64()),
+            "contaminated": pa.array(counts > 0),
+        })
+
+
+def decontaminate(ds: ray.data.Dataset, n: int = 13, bench_mod: int = 97
+                  ) -> ray.data.Dataset:
+    """Flag corpus docs sharing any word n-gram with the benchmark subset
+    (docs with doc_id % bench_mod == 0 stand in for the held-out suite).
+    Returns (doc_id, n_overlap_ngrams, contaminated) for NON-benchmark
+    docs; n_overlap_ngrams counts the doc's distinct colliding n-grams."""
+
+    def _bench_hashes(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").combine_chunks())
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        norm = normalize_text_array(sub.column("text")).to_pylist()
+        _, g = _doc_distinct_ngram_hashes(norm, n)
+        return pa.table({"h": pa.array(np.unique(g), pa.uint64())})
+
+    bench_blocks = ds.map_batches(
+        _bench_hashes, batch_format="pyarrow").to_arrow_refs()
+    bench_ref = _merge_bench_hashes.remote(BENCH_NGRAM_CAP, *bench_blocks)
+
+    return ds.map_batches(
+        _DecontaminateBatch, fn_constructor_args=(bench_ref, n, bench_mod),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def decontaminate_docs(sf_dir: str, n: int = 13, bench_mod: int = 97
+                       ) -> ray.data.Dataset:
+    """Registered query wrapper over the documents table."""
+    return decontaminate(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=n, bench_mod=bench_mod)
+
+
+DECONTAMINATE_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(nt, ' ') AS ts FROM norm WHERE nt <> ''
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ts, i, i + {NM1}), ' ') AS gs
+  FROM toks, unnest(range(1, len(ts) - {NM2})) AS u(i)
+  WHERE len(ts) >= {N}
+),
+bench AS (
+  SELECT DISTINCT gs FROM grams WHERE doc_id % {MOD} = 0
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM grams g JOIN bench b USING (gs)
+  WHERE g.doc_id % {MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_overlap, 0) AS n_overlap_ngrams,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {MOD} <> 0
+""".strip()
+
+
+def decontaminate_sql(n: int = 13, bench_mod: int = 97) -> str:
+    return (DECONTAMINATE_SQL
+            .replace("{NM1}", str(n - 1)).replace("{NM2}", str(n - 2))
+            .replace("{N}", str(n)).replace("{MOD}", str(bench_mod)))

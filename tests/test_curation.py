@@ -1,0 +1,135 @@
+"""PII redaction + benchmark decontamination (stages/curation.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+
+def test_redact_pii_planted_cases():
+    from ent_res_feedback_ray.stages.curation import redact_pii
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "write to alice.smith+spam@mail-host.example.org today",
+            "server at 192.168.0.1 and 10.0.0.255 responded",
+            "call +1-555-0199 or +44-20-7946-0958 now",
+            "no pii here at all",
+            "mixed bob@x.io via 8.8.8.8 dial +1-202-555-0100",
+        ],
+    })
+    out = redact_pii(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [1, 0, 0, 0, 1]
+    assert out["n_ips"].tolist() == [0, 2, 0, 0, 1]
+    assert out["n_phones"].tolist() == [0, 0, 2, 0, 1]
+    assert out.loc[0, "redacted_text"] == "write to <EMAIL> today"
+    assert out.loc[1, "redacted_text"] == "server at <IP> and <IP> responded"
+    assert out.loc[2, "redacted_text"] == "call <PHONE> or <PHONE> now"
+    assert out.loc[3, "redacted_text"] == "no pii here at all"
+    assert out.loc[4, "redacted_text"] == "mixed <EMAIL> via <IP> dial <PHONE>"
+
+
+def test_pii_redaction_matches_duckdb_twin(tmp_path):
+    """Full oracle parity for the registered query (planting projection
+    included) on a synthetic documents table."""
+    from ent_res_feedback_ray.stages.curation import (PII_REDACTION_SQL,
+                                                      pii_redaction)
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "nine"])
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array([" ".join(rng.choice(words, 8)) for _ in range(60)]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out = pii_redaction(str(sf)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.execute(PII_REDACTION_SQL + " ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        out[ora.columns.tolist()], ora, check_dtype=False)
+    # every planted class fired
+    assert out["n_emails"].sum() == 30
+    assert out["n_phones"].sum() == 20
+    assert out["n_ips"].sum() == 12
+
+
+def _dup_corpus(n_docs: int = 60, mod: int = 10) -> pd.DataFrame:
+    """Corpus where docs copy a run of >=13 tokens from benchmark docs
+    (doc_id % mod == 0) — deterministic."""
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = []
+    bench_runs = {}
+    for d in range(n_docs):
+        toks = list(rng.choice(vocab, 30))
+        if d % mod == 0:
+            bench_runs[d] = toks[5:20]  # a 15-token run
+        texts.append(" ".join(toks))
+    # plant contamination: docs 1 mod 10 copy the previous benchmark run
+    for d in range(n_docs):
+        if d % mod == 1 and (d - 1) in bench_runs:
+            toks = texts[d].split()
+            texts[d] = " ".join(toks[:10] + bench_runs[d - 1] + toks[10:])
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                         "text": texts})
+
+
+def test_decontaminate_flags_planted_overlap():
+    from ent_res_feedback_ray.stages.curation import decontaminate
+
+    docs = _dup_corpus()
+    out = decontaminate(ray.data.from_pandas(docs), n=13, bench_mod=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # benchmark docs excluded from output
+    assert not (out["doc_id"] % 10 == 0).any()
+    flagged = set(out.loc[out["contaminated"], "doc_id"])
+    planted = {d for d in range(60) if d % 10 == 1}
+    assert planted <= flagged
+    # a 15-token copied run contains 3 distinct 13-grams
+    assert (out.set_index("doc_id").loc[sorted(planted),
+            "n_overlap_ngrams"] >= 3).all()
+
+
+def test_decontaminate_matches_duckdb_twin(tmp_path):
+    from ent_res_feedback_ray.stages.curation import (decontaminate_docs,
+                                                      decontaminate_sql)
+
+    docs = _dup_corpus(80, mod=10)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf / "documents.parquet")
+
+    out = decontaminate_docs(str(sf), n=13, bench_mod=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.execute(decontaminate_sql(n=13, bench_mod=10)
+                      + " ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        out[ora.columns.tolist()], ora, check_dtype=False)
+    assert out["contaminated"].any()
+
+
+def test_bench_ngram_cap_is_loud():
+    from ent_res_feedback_ray.stages import curation
+
+    old = curation.BENCH_NGRAM_CAP
+    curation.BENCH_NGRAM_CAP = 2
+    try:
+        docs = _dup_corpus(30, mod=3)
+        with pytest.raises(Exception, match="cap"):
+            curation.decontaminate(
+                ray.data.from_pandas(docs), n=13, bench_mod=3).to_pandas()
+    finally:
+        curation.BENCH_NGRAM_CAP = old
