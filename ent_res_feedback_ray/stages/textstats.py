@@ -92,7 +92,16 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
         tok_lists = [s.split() for s in norms]
         lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
         uniq_ratio = np.full(n, np.nan)
-        if int(lens.sum()):
+        # Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs):
+        # top-bigram mass fraction + duplicate-trigram fraction, both from
+        # the same flat token-hash array with doc-boundary-aware rolling
+        # combines — no per-doc Python loop.
+        top_bigram = np.full(n, np.nan)
+        dup_trigram = np.full(n, np.nan)
+        m = int(lens.sum())
+        if m:
+            from ..functions.hashing import _FNV_PRIME
+
             h = fnv1a64(list(chain.from_iterable(tok_lists)))
             doc = np.repeat(np.arange(n, dtype=np.int64), lens)
             order = np.lexsort((h, doc))
@@ -102,11 +111,46 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
             nuniq = np.bincount(ds_[first], minlength=n).astype(np.float64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 uniq_ratio = np.where(lens > 0, nuniq / lens, np.nan)
+            if m >= 2:
+                with np.errstate(over="ignore"):
+                    g2 = (h[:-1] * _FNV_PRIME) ^ h[1:]
+                v = doc[:-1] == doc[1:]
+                g2, d2 = g2[v], doc[:-1][v]
+                if g2.size:
+                    o2 = np.lexsort((g2, d2))
+                    g2s, d2s = g2[o2], d2[o2]
+                    starts = np.flatnonzero(np.concatenate(
+                        [[True], (g2s[1:] != g2s[:-1]) | (d2s[1:] != d2s[:-1])]))
+                    run_len = np.diff(np.append(starts, g2s.size))
+                    mx = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(mx, d2s[starts], run_len)
+                    tot2 = np.bincount(d2, minlength=n)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        top_bigram = np.where(
+                            tot2 > 0, mx / tot2.astype(np.float64), np.nan)
+            if m >= 3:
+                with np.errstate(over="ignore"):
+                    g3 = ((h[:-2] * _FNV_PRIME) ^ h[1:-1]) * _FNV_PRIME ^ h[2:]
+                v = doc[:-2] == doc[2:]
+                g3, d3 = g3[v], doc[:-2][v]
+                if g3.size:
+                    o3 = np.lexsort((g3, d3))
+                    g3s, d3s = g3[o3], d3[o3]
+                    f3 = np.concatenate(
+                        [[True], (g3s[1:] != g3s[:-1]) | (d3s[1:] != d3s[:-1])])
+                    dst = np.bincount(d3s[f3], minlength=n)
+                    tot3 = np.bincount(d3, minlength=n)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        dup_trigram = np.where(
+                            tot3 > 0,
+                            1.0 - dst / tot3.astype(np.float64), np.nan)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "mean_token_len": pa.array(mean_tok, pa.float64(), from_pandas=True),
             "stopword_ratio": pa.array(stop_ratio, pa.float64(), from_pandas=True),
             "uniq_token_ratio": pa.array(uniq_ratio, pa.float64(), from_pandas=True),
+            "top_bigram_ratio": pa.array(top_bigram, pa.float64(), from_pandas=True),
+            "dup_trigram_ratio": pa.array(dup_trigram, pa.float64(), from_pandas=True),
         })
 
     return ds.map_batches(_quality, batch_format="pyarrow")
@@ -120,15 +164,41 @@ WITH norm AS (
 ),
 toks AS (
   SELECT doc_id, string_split(n, ' ') AS ts, n FROM norm
+),
+big AS (
+  SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS g
+  FROM toks, unnest(range(1, len(ts))) AS u(i)
+  WHERE n <> '' AND len(ts) >= 2
+),
+bigc AS (
+  SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g
+),
+bigtop AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_ratio
+  FROM bigc GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, array_to_string(list_slice(ts, i, i + 2), ' ') AS g
+  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE n <> '' AND len(ts) >= 3
+),
+tria AS (
+  SELECT doc_id,
+    1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_trigram_ratio
+  FROM tri GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT t.doc_id,
   CASE WHEN n = '' THEN NULL ELSE
     CAST(len(n) - (len(ts) - 1) AS DOUBLE) / len(ts) END AS mean_token_len,
   CASE WHEN n = '' THEN NULL ELSE
     CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ts) END AS stopword_ratio,
   CASE WHEN n = '' THEN NULL ELSE
-    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS uniq_token_ratio
-FROM toks
+    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS uniq_token_ratio,
+  b.top_bigram_ratio,
+  r.dup_trigram_ratio
+FROM toks t
+LEFT JOIN bigtop b USING (doc_id)
+LEFT JOIN tria r USING (doc_id)
 """.strip()
 
 

@@ -133,3 +133,30 @@ def test_bench_ngram_cap_is_loud():
                 ray.data.from_pandas(docs), n=13, bench_mod=3).to_pandas()
     finally:
         curation.BENCH_NGRAM_CAP = old
+
+
+def test_quality_repetition_metrics(tmp_path):
+    """Gopher-style repetition columns on doc_quality: top-bigram mass and
+    duplicate-trigram fraction, hand-computed pins + NULL edges."""
+    from ent_res_feedback_ray.stages.textstats import quality_scores
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array([
+            "a b a b a b",      # bigrams ab,ba,ab,ba,ab -> top 3/5; tri dup 0.5
+            "x y z w",           # all bigrams distinct -> 1/3; tri dup 0.0
+            "solo",              # no bigrams/trigrams -> NULL
+            "",                  # empty -> NULL everywhere
+        ]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = quality_scores(str(sf)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "top_bigram_ratio"] == 3 / 5
+    assert out.loc[0, "dup_trigram_ratio"] == 0.5
+    assert out.loc[1, "top_bigram_ratio"] == 1 / 3
+    assert out.loc[1, "dup_trigram_ratio"] == 0.0
+    assert np.isnan(out.loc[2, "top_bigram_ratio"])
+    assert np.isnan(out.loc[3, "dup_trigram_ratio"])
