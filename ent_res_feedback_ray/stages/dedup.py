@@ -547,6 +547,142 @@ FROM marked GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# exact-substring (token-span) dedup — Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" re-expressed as dataflow:
+# every span_len-token window (stride 1) is hashed with a vectorized
+# rolling combine; a window hash seen at ≥2 (doc, start) positions keeps
+# only its first occurrence and every other occurrence's token range is
+# cut from the text.  The exchange carries (hash, doc_id, start) ONLY —
+# 24 bytes/token, the text never enters the shuffle; the drop list is
+# bounded by duplicated windows and joins back per doc.
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 20,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Remove duplicated exact token spans of length ≥ ``span_len`` across
+    the corpus, keeping the first occurrence by (doc_id, start).
+
+    Output: (doc_id, text, n_tokens, n_tokens_removed) — ``text`` is the
+    single-space join of surviving whitespace tokens (token-level rebuild,
+    like the reference's normalized-text invariant).  Stride is 1 so a
+    copied run is caught at ANY offset (aligned windows exist whenever two
+    docs share ≥ span_len consecutive tokens)."""
+    from itertools import chain
+
+    from .shuffleops import bucketed_group_apply, join_on_key
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [str(s).split() if s is not None else []
+                     for s in df[text_col]]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                           count=len(tok_lists))
+        m = int(lens.sum())
+        empty = pd.DataFrame({"hash": np.empty(0, np.int64),
+                              "doc_id": np.empty(0, np.int64),
+                              "start": np.empty(0, np.int64)})
+        if m < span_len:
+            return empty
+        h = fnv1a64(list(chain.from_iterable(tok_lists)))
+        doc_pos = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+        acc = h[: m - span_len + 1].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, span_len):
+                acc ^= h[j: j + acc.size]
+                acc *= np.uint64(0x100000001B3)
+        valid = doc_pos[: m - span_len + 1] == doc_pos[span_len - 1:]
+        if not valid.any():
+            return empty
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        gpos = np.flatnonzero(valid)
+        gdoc = doc_pos[gpos]
+        return pd.DataFrame({
+            "hash": acc[valid].astype(np.int64),
+            "doc_id": df[id_col].to_numpy(np.int64)[gdoc],
+            "start": gpos - offsets[gdoc],
+        })
+
+    wins = docs.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pandas")
+
+    # keeper election (hash-only shuffle): per-batch partial keeps one
+    # candidate keeper + count per hash, the bucketed reduce sums counts
+    # and takes the global (doc, start) minimum
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "start"], kind="mergesort")
+        g = df.groupby("hash", as_index=False).agg(
+            n=("start", "size"), kdoc=("doc_id", "first"),
+            kstart=("start", "first"))
+        return g
+
+    def _elect(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["hash", "kdoc", "kstart"], kind="mergesort")
+        agg = part.groupby("hash", as_index=False).agg(
+            n=("n", "sum"), kdoc=("kdoc", "first"), kstart=("kstart", "first"))
+        return agg[agg["n"] >= 2][["hash", "kdoc", "kstart"]]
+
+    verdict = bucketed_group_apply(
+        wins.map_batches(_partial, batch_format="pandas"),
+        "hash", _elect, num_buckets)
+
+    # drop rows = duplicated-window occurrences that are NOT the keeper
+    sentinel_v = ray.data.from_pandas(pd.DataFrame({
+        "hash": np.array([np.iinfo(np.int64).min], np.int64),
+        "kdoc": np.array([-1], np.int64),
+        "kstart": np.array([-1], np.int64),
+        "__dup": np.array([True], bool)}))
+    joined = join_on_key(
+        wins,
+        verdict.map_batches(lambda df: df.assign(__dup=True),
+                            batch_format="pandas").union(sentinel_v),
+        "hash", num_buckets)
+
+    def _drops(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df["__dup"].fillna(False).to_numpy(bool)
+        loser = dup & ~((df["kdoc"].to_numpy() == df["doc_id"].to_numpy())
+                        & (df["kstart"].to_numpy() == df["start"].to_numpy()))
+        sub = df[loser]
+        return pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(np.int64),
+                             "start": sub["start"].to_numpy(np.int64)})
+
+    drops = joined.map_batches(_drops, batch_format="pandas")
+    sentinel_d = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([-1], np.int64),
+        "start": np.array([-1], np.int64)}))
+
+    rejoined = join_on_key(
+        docs.select_columns([id_col, text_col]),
+        drops.union(sentinel_d), id_col, num_buckets)
+
+    def _rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc, grp in part.groupby(id_col, sort=True):
+            text = grp[text_col].iloc[0]
+            toks = str(text).split() if text is not None else []
+            n = len(toks)
+            starts = grp["start"].dropna().to_numpy()
+            starts = starts[starts >= 0].astype(np.int64)
+            if starts.size and n:
+                cover = np.zeros(n + 1, np.int64)
+                np.add.at(cover, starts, 1)
+                ends = np.minimum(starts + span_len, n)
+                np.add.at(cover, ends, -1)
+                covered = np.cumsum(cover[:-1]) > 0
+                kept = [t for t, c in zip(toks, covered) if not c]
+            else:
+                kept = toks
+            out.append((doc, " ".join(kept), n, n - len(kept)))
+        return pd.DataFrame(out, columns=["doc_id", "text", "n_tokens",
+                                          "n_tokens_removed"])
+
+    return bucketed_group_apply(rejoined, id_col, _rebuild, num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # winnowing-fingerprint near-dup (MOSS-style copy detection — Schleimer
 # et al., SIGMOD'03; the practical substring-overlap detector alongside the
 # set-similarity family above)

@@ -129,3 +129,105 @@ def test_winnow_dedup_pairs_planted(tmp_path):
     assert all(p == (0, 1) for p in pairs)
     row = out.set_index(["id1", "id2"]).loc[(0, 1)]
     assert row["overlap"] >= 0.5
+
+
+def test_span_dedup_keeps_first_occurrence():
+    """Exact token-span dedup (Lee et al. 2022 analog): a copied >=span_len
+    token run survives only at its first (doc_id, start) occurrence, at ANY
+    offset in the copying doc (stride-1 windows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import span_dedup
+
+    run = " ".join(f"r{i}" for i in range(25))  # a 25-token run
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [
+            "lead tokens here " + run + " tail tokens",
+            "totally different prefix of seven tokens yes " + run,
+            "short unique doc with no duplicated content at all",
+        ],
+    })
+    out = span_dedup(ray.data.from_pandas(docs), span_len=20).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_tokens_removed"] == 0
+    assert "r0" in out.loc[0, "text"] and "r24" in out.loc[0, "text"]
+    # doc 1 loses the whole copied run (every token covered by a dup window)
+    assert out.loc[1, "n_tokens_removed"] == 25
+    assert "r0" not in out.loc[1, "text"]
+    assert out.loc[1, "text"].startswith("totally different")
+    assert out.loc[2, "n_tokens_removed"] == 0
+
+
+def test_span_dedup_matches_duckdb_twin(tmp_path):
+    """Full SQL-twin parity for span_dedup: stride-1 window election by
+    (doc_id, start), coverage semantics (token dropped iff covered by any
+    losing window)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import span_dedup
+
+    L = 12
+    rng = np.random.default_rng(9)
+    vocab = np.array([f"t{i}" for i in range(40)])
+    texts = []
+    for d in range(30):
+        texts.append(" ".join(rng.choice(vocab, int(rng.integers(8, 40)))))
+    # plant cross-doc copies at misaligned offsets
+    runA = texts[0].split()[2:2 + L + 4]
+    texts[7] = " ".join(texts[7].split()[:5] + runA + texts[7].split()[5:])
+    texts[19] = " ".join(runA + texts[19].split())
+    # an in-doc repeat
+    runB = [f"b{i}" for i in range(L)]
+    texts[11] = " ".join(runB + texts[11].split()[:6] + runB)
+    docs = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": texts})
+
+    out = span_dedup(ray.data.from_pandas(docs), span_len=L).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM docs
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(list_slice(ts, i, i + {L - 1}), ' ') AS w
+      FROM toks, unnest(range(1, len(ts) - {L} + 2)) AS u(i)
+      WHERE len(ts) >= {L}
+    ),
+    marked AS (
+      SELECT *, row_number() OVER (PARTITION BY w ORDER BY doc_id, start) rn,
+             count(*) OVER (PARTITION BY w) cnt
+      FROM wins
+    ),
+    drops AS (SELECT doc_id, start FROM marked WHERE cnt >= 2 AND rn > 1),
+    tokidx AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(generate_series(1, len(ts))) - 1 AS p, len(ts) AS n
+      FROM toks
+    ),
+    keep AS (
+      SELECT t.doc_id, t.tok, t.p, t.n,
+        NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = t.doc_id
+                    AND t.p >= d.start AND t.p < d.start + {L}) AS k
+      FROM tokidx t
+    )
+    SELECT doc_id,
+      coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE k), '') AS text,
+      any_value(n) AS n_tokens,
+      CAST(count(*) FILTER (WHERE NOT k) AS BIGINT) AS n_tokens_removed
+    FROM keep GROUP BY doc_id ORDER BY doc_id
+    """
+    ora = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64", "n_tokens_removed": "int64"}),
+        ora.astype({"n_tokens": "int64", "n_tokens_removed": "int64"}))
+    assert (out["n_tokens_removed"] > 0).sum() >= 3
