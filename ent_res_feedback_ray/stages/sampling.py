@@ -101,3 +101,71 @@ def balanced_sample(df: pd.DataFrame, label_col: str, k_per_class: int,
     out = (df.sort_values("__h", kind="mergesort")
              .groupby(label_col, sort=False).head(k_per_class))
     return out.drop(columns="__h").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# source-balanced corpus sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+# Loud guard: the per-source rate table is broadcast as a plain dict — fine
+# for real corpora (sources are crawls/registries, thousands at most), but
+# a mis-keyed column (e.g. url) would make it O(corpus).
+SOURCE_CARD_CAP = 100_000
+
+
+def source_balanced_sample(ds: ray.data.Dataset, source_col: str = "source",
+                           id_col: str = "doc_id", seed: int = 17
+                           ) -> ray.data.Dataset:
+    """Downsample every source to the size of the SMALLEST source — the
+    uniform-mixing primitive of LM data curation (each source contributes
+    ~equal documents; generalizes to arbitrary mixing weights by scaling
+    the per-source rate).
+
+    Membership is a pure function of the row key (md5, like every sampler
+    in this module): partition/cluster-size invariant and exactly
+    replayable in SQL.  The keep test is integer-exact —
+    ``h % MOD * cnt_source < target * MOD`` — so no float-rounding drift
+    between numpy and DuckDB.
+
+    Two passes: (1) per-source counts — a map-side partial then one tiny
+    groupby (cardinality = #sources, capped loudly); (2) stateless filter
+    with the rate table in the closure."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(source_col, as_index=False).agg(
+            n=(id_col, "size"))
+
+    counts = (ds.map_batches(_partial, batch_format="pandas")
+              .groupby(source_col).sum("n"))
+    cdf = counts.to_pandas()  # bounded: one row per distinct source
+    if len(cdf) > SOURCE_CARD_CAP:
+        raise ValueError(
+            f"{len(cdf)} distinct values in {source_col!r} (cap "
+            f"{SOURCE_CARD_CAP}) — is this really a source column?")
+    ncol = "sum(n)" if "sum(n)" in cdf.columns else "n"
+    cnt = dict(zip(cdf[source_col], cdf[ncol].astype(np.int64)))
+    tgt = int(min(cnt.values()))
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{v}|mix{seed}" for v in df[id_col]]
+        h = md5_mod(keys)
+        cs = df[source_col].map(cnt).to_numpy(np.int64)
+        return df[h * cs < tgt * _MOD]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
+def source_balanced_sample_sql(source_col: str = "source",
+                               id_col: str = "doc_id", seed: int = 17,
+                               table: str = "documents") -> str:
+    """Exact DuckDB twin of ``source_balanced_sample`` over ``table``."""
+    return f"""
+WITH c AS (
+  SELECT {source_col}, count(*) AS cnt FROM {table} GROUP BY {source_col}
+),
+t AS (SELECT min(cnt) AS tgt FROM c)
+SELECT d.*
+FROM {table} d JOIN c USING ({source_col}) CROSS JOIN t
+WHERE md5_number_lower(CAST(d.{id_col} AS VARCHAR) || '|mix{seed}')
+      % {_MOD} * c.cnt < t.tgt * {_MOD}
+""".strip()

@@ -157,3 +157,49 @@ def test_split_disjointness_operator(sf_dir):
     assert out.loc["train", "n_leaked"] == 2
     assert out.loc["test", "n_leaked"] == 1
     assert out.loc["val", "n_leaked"] == 1
+
+
+def test_source_balanced_sample_matches_duckdb():
+    """Data-mixing sampler: every source downsampled toward the smallest
+    source's size; membership integer-exact vs the DuckDB twin."""
+    import duckdb
+
+    from ent_res_feedback_ray.stages.sampling import (
+        source_balanced_sample, source_balanced_sample_sql)
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet")
+    out = source_balanced_sample(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.execute(source_balanced_sample_sql()
+                      + " ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  ora[sorted(ora.columns)], check_dtype=False)
+    # balance: every source's kept count is within binomial noise of the
+    # smallest source's total
+    full = con.execute(
+        "SELECT source, count(*) n FROM documents GROUP BY source").fetchdf()
+    tgt = full["n"].min()
+    totals = full.set_index("source")["n"]
+    kept = out.groupby("source").size().reindex(totals.index, fill_value=0)
+    assert (kept <= totals).all()
+    assert (np.abs(kept - tgt) <= 4 * np.sqrt(tgt) + 1).all()
+
+
+def test_source_balanced_sample_cardinality_cap():
+    import pytest as _pytest
+
+    from ent_res_feedback_ray.stages import sampling
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "source": [f"s{i}" for i in range(50)]})
+    old = sampling.SOURCE_CARD_CAP
+    sampling.SOURCE_CARD_CAP = 10
+    try:
+        with _pytest.raises(ValueError, match="cap"):
+            sampling.source_balanced_sample(ray.data.from_pandas(df))
+    finally:
+        sampling.SOURCE_CARD_CAP = old
