@@ -30,8 +30,16 @@ _LANG_MARKERS: dict[str, frozenset] = {
 }
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead — RE2 has none, so the
+# original `\s+(?!\S)` clause is dropped; both pyarrow and DuckDB run this
+# exact pattern, making the piece count bit-identical across engines)
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, n_tokens, n_chars_norm) — vectorized arrow kernels."""
+    """(doc_id, n_tokens, n_chars_norm, n_bpe_pieces) — vectorized arrow
+    kernels; ``n_bpe_pieces`` counts GPT-2-pre-tokenizer pieces over the
+    RAW text (the LM-token-budget estimator)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _stats(t: pa.Table) -> pa.Table:
@@ -40,22 +48,25 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
             "doc_id": t.column("doc_id"),
             "n_tokens": pc.cast(token_count_array(norm), pa.int64()),
             "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "n_bpe_pieces": pc.cast(pc.count_substring_regex(
+                t.column("text"), BPE_PIECE_RE), pa.int64()),
         })
 
     return ds.map_batches(_stats, batch_format="pyarrow")
 
 
-TOKEN_COUNTS_SQL = """
+TOKEN_COUNTS_SQL = ("""
 WITH norm AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
     trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
   FROM documents
 )
 SELECT doc_id,
   CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS n_tokens,
-  len(n) AS n_chars_norm
+  len(n) AS n_chars_norm,
+  len(regexp_extract_all(text, '{BPE}')) AS n_bpe_pieces
 FROM norm
-""".strip()
+""".strip().replace("{BPE}", BPE_PIECE_RE.replace("'", "''")))
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:

@@ -73,3 +73,23 @@ def test_extract_text_from_html():
     assert extract_text_from_html(b"") == ""
     # byte-identical per input: same bytes → same string, always
     assert extract_text_from_html(html) == extract_text_from_html(html)
+
+
+def test_bpe_piece_regex_engine_parity():
+    """BPE_PIECE_RE counts identically under pyarrow RE2 and DuckDB RE2
+    (both engines run the exact same pattern string)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ent_res_feedback_ray.stages.textstats import BPE_PIECE_RE
+
+    texts = ["Hello world, it's 42 degrees!", "", "  spaces   and\ttabs",
+             "naïve café №5", "a'b''c", "x" * 300]
+    counts = pc.count_substring_regex(pa.array(texts), BPE_PIECE_RE).to_pylist()
+    assert counts[0] == 8  # Hello/ world/,/ it/'s/ 42/ degrees/!
+    con = duckdb.connect()
+    for t, c in zip(texts, counts):
+        d = con.execute("SELECT len(regexp_extract_all(?, ?))",
+                        [t, BPE_PIECE_RE]).fetchone()[0]
+        assert c == d, (t, c, d)
