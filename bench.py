@@ -94,6 +94,58 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def run_curation(sf_dir: str, num_cpus: int) -> dict:
+    """Curation-suite timings (separate from the headline metric so the
+    round-over-round headline comparison stays stable): PII redaction,
+    13-gram decontamination, paragraph dedup, exact token-span dedup,
+    source-balanced sampling — the LM-data hygiene passes over the
+    documents table."""
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ent_res_feedback_ray.sources.tables import read_table
+    from ent_res_feedback_ray.stages import curation, dedup
+    from ent_res_feedback_ray.stages.sampling import source_balanced_sample
+
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn().materialize()
+        out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed("pii_redaction", lambda: curation.pii_redaction(sf_dir))
+    timed("decontaminate_13gram",
+          lambda: curation.decontaminate_docs(sf_dir, n=13, bench_mod=17))
+    timed("paragraph_dedup", lambda: dedup.paragraph_dedup_docs(sf_dir))
+    timed("span_dedup", lambda: dedup.span_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])))
+    timed("source_balanced_sample", lambda: source_balanced_sample(
+        read_table(sf_dir, "documents", columns=["doc_id", "source"])))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "curation_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec_total": round(n_docs * len(timings) / total, 2),
+    }
+    ray.shutdown()
+    return result
+
+
 def scaled_pages_path(sf_dir: str, factor: int) -> str:
     """Deterministically replicate the documents table ×factor into a pages
     parquet (cached).  Replica r of doc d: doc_id = d×factor+r, tokens
@@ -249,5 +301,7 @@ if __name__ == "__main__":
     elif "--er-scaled" in sys.argv:
         factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "128"))
         print(json.dumps(run_er_scaled(sf_dir, num_cpus, factor)))
+    elif "--curation" in sys.argv:
+        print(json.dumps(run_curation(sf_dir, num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

@@ -410,14 +410,18 @@ def paragraph_dedup(
     headers/footers/navigation chrome are the web-corpus target.
 
     Distributed shape (no driver materialization, no all-pairs step):
-    1. explode docs → (doc_id, idx, hash64, para) rows — paragraphs under
-       ``min_para_len`` chars pass through unexamined (never duplicates
-       worth chasing, and skipping them bounds hash-table skew on "" / "-");
-    2. elect each hash's keeper with ONE hash-only bucketed shuffle over
-       (hash, doc_id, idx) — the text column stays out of this exchange;
-    3. join the keeper verdict back onto the paragraph rows (bucketed
-       cogroup on hash) and rebuild each doc with a bucketed group-apply on
-       doc_id (paragraphs reassemble in index order).
+    1. explode docs → (hash64, doc_id, idx) rows — HASH-ONLY, the
+       paragraph text never enters any exchange; paragraphs under
+       ``min_para_len`` chars are never emitted at all (never duplicates
+       worth chasing, and skipping them removes the ""/"-" skew class);
+    2. elect LOSERS in one hash-keyed bucketed shuffle: every occurrence
+       after the (doc_id, idx)-first of its hash is a drop row — emitting
+       losers directly needs no keeper-verdict table and no verdict⋈rows
+       join (the plan the keeper formulation required);
+    3. rebuild each doc inside the drop-list⋈docs cogroup bucket
+       (``join_on_key(apply_fn=...)`` — one doc-keyed shuffle carrying
+       each doc's text exactly once): re-split the text, cut the dropped
+       indices, reassemble in index order.
 
     Output: (doc_id, text, n_paras, n_dropped) — ``text`` with repeated
     paragraphs removed."""
@@ -426,94 +430,52 @@ def paragraph_dedup(
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         lists = df[text_col].fillna("").str.split("\n\n")
         counts = lists.str.len().to_numpy()
+        paras = (np.concatenate(lists.to_numpy()).astype(object)
+                 if len(counts) else np.empty(0, object))
         out = pd.DataFrame({
+            "hash": fnv1a64(paras).astype(np.int64),
             "doc_id": np.repeat(df[id_col].to_numpy(np.int64), counts),
             "idx": np.concatenate([np.arange(c, dtype=np.int64)
                                    for c in counts]) if len(counts)
             else np.empty(0, np.int64),
-            "para": np.concatenate(lists.to_numpy()) if len(counts)
-            else np.empty(0, object),
         })
-        plen = out["para"].str.len().to_numpy()
-        h = fnv1a64(out["para"]).astype(np.int64)
-        out["hash"] = np.where(plen >= min_para_len, h, np.int64(-1))
-        return out
+        plen = pd.Series(paras).str.len().to_numpy() if len(counts) \
+            else np.empty(0, np.int64)
+        return out[plen >= min_para_len]
 
     rows = docs.select_columns([id_col, text_col]).map_batches(
         _explode, batch_format="pandas")
 
-    # keeper election: hash-only partial → bucketed reduce (skip the -1
-    # short-paragraph sentinel; a hash seen once has no verdict row at all,
-    # so the verdict table is bounded by the number of DUPLICATED paragraphs)
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["hash"] != -1]
-        g = df.groupby("hash", as_index=False).agg(
-            n=("idx", "size"), kd=("doc_id", "min"))
-        first = df.sort_values(["doc_id", "idx"]).groupby(
-            "hash", as_index=False).head(1)
-        return g.merge(first[["hash", "doc_id", "idx"]], on="hash") \
-            .rename(columns={"doc_id": "kdoc", "idx": "kidx"}) \
-            .drop(columns=["kd"])
+    def _losers(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["hash", "doc_id", "idx"], kind="mergesort")
+        sub = part[part.duplicated("hash", keep="first")]
+        return pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(np.int64),
+                             "idx": sub["idx"].to_numpy(np.int64)})
 
-    def _elect(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["hash", "kdoc", "kidx"], kind="mergesort")
-        agg = part.groupby("hash", as_index=False).agg(
-            n=("n", "sum"), kdoc=("kdoc", "first"), kidx=("kidx", "first"))
-        return agg[agg["n"] >= 2][["hash", "kdoc", "kidx"]]
+    drops = bucketed_group_apply(rows, "hash", _losers, num_buckets)
 
-    verdict = bucketed_group_apply(
-        rows.select_columns(["doc_id", "idx", "hash"]).map_batches(
-            _partial, batch_format="pandas"),
-        "hash", _elect, num_buckets)
-
-    # short-paragraph rows (sentinel hash −1) need no verdict — routing
-    # them through the hash-bucketed join would pile EVERY short paragraph
-    # corpus-wide into one straggler bucket; split them off, join only the
-    # hashed rows, and union the short rows back before the per-doc rebuild
-    _OUT_COLS = ["doc_id", "idx", "para", "__keep"]
-
-    def _short_side(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["hash"] == -1]
-        return pd.DataFrame({"doc_id": sub["doc_id"], "idx": sub["idx"],
-                             "para": sub["para"], "__keep": True})
-
-    def _hashed_side(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["hash"] != -1]
-
-    # typed sentinel row (hash −1 exists on no hashed row) keeps the verdict
-    # schema defined even when the corpus has ZERO duplicated paragraphs —
-    # an empty Dataset has schema None, which would break the cogroup join
+    # typed sentinel keeps the drop-side schema defined even when the
+    # corpus has ZERO duplicated paragraphs (an empty Dataset has schema
+    # None, which would break the cogroup join)
     sentinel = ray.data.from_pandas(pd.DataFrame({
-        "hash": np.array([-1], np.int64), "kdoc": np.array([-1], np.int64),
-        "kidx": np.array([-1], np.int64), "__dup": np.array([True], bool)}))
-
-    joined = join_on_key(
-        rows.map_batches(_hashed_side, batch_format="pandas"),
-        verdict.map_batches(lambda df: df.assign(__dup=True),
-                            batch_format="pandas").union(sentinel),
-        "hash", num_buckets)
-
-    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
-        dup = df["__dup"].fillna(False).to_numpy(bool)
-        keep = ~dup | ((df["kdoc"].to_numpy() == df["doc_id"].to_numpy())
-                       & (df["kidx"].to_numpy() == df["idx"].to_numpy()))
-        return pd.DataFrame({"doc_id": df["doc_id"], "idx": df["idx"],
-                             "para": df["para"], "__keep": keep})
-
-    resolved = joined.map_batches(_resolve, batch_format="pandas").union(
-        rows.map_batches(_short_side, batch_format="pandas"))
+        "doc_id": np.array([-1], np.int64),
+        "idx": np.array([-1], np.int64)}))
 
     def _rebuild(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values("idx", kind="mergesort")
         out = []
-        for doc, grp in part.groupby("doc_id", sort=True):
-            kept = grp.loc[grp["__keep"], "para"]
-            out.append((doc, "\n\n".join(kept), len(grp),
-                        int((~grp["__keep"]).sum())))
+        for doc, grp in part.groupby(id_col, sort=True):
+            text = grp[text_col].iloc[0]
+            paras = ("" if text is None else str(text)).split("\n\n")
+            drop_idx = grp["idx"].dropna().to_numpy()
+            drop_idx = set(drop_idx[drop_idx >= 0].astype(np.int64))
+            kept = [p for i, p in enumerate(paras) if i not in drop_idx]
+            out.append((doc, "\n\n".join(kept), len(paras), len(drop_idx)))
         return pd.DataFrame(out, columns=["doc_id", "text", "n_paras",
                                           "n_dropped"])
 
-    return bucketed_group_apply(resolved, "doc_id", _rebuild, num_buckets)
+    return join_on_key(docs.select_columns([id_col, text_col]),
+                       drops.union(sentinel), id_col, num_buckets,
+                       apply_fn=_rebuild)
 
 
 def paragraph_dedup_docs(sf_dir: str) -> ray.data.Dataset:
@@ -609,54 +571,23 @@ def span_dedup(
     wins = docs.select_columns([id_col, text_col]).map_batches(
         _explode, batch_format="pandas")
 
-    # keeper election (hash-only shuffle): per-batch partial keeps one
-    # candidate keeper + count per hash, the bucketed reduce sums counts
-    # and takes the global (doc, start) minimum
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "start"], kind="mergesort")
-        g = df.groupby("hash", as_index=False).agg(
-            n=("start", "size"), kdoc=("doc_id", "first"),
-            kstart=("start", "first"))
-        return g
-
-    def _elect(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["hash", "kdoc", "kstart"], kind="mergesort")
-        agg = part.groupby("hash", as_index=False).agg(
-            n=("n", "sum"), kdoc=("kdoc", "first"), kstart=("kstart", "first"))
-        return agg[agg["n"] >= 2][["hash", "kdoc", "kstart"]]
-
-    verdict = bucketed_group_apply(
-        wins.map_batches(_partial, batch_format="pandas"),
-        "hash", _elect, num_buckets)
-
-    # drop rows = duplicated-window occurrences that are NOT the keeper
-    sentinel_v = ray.data.from_pandas(pd.DataFrame({
-        "hash": np.array([np.iinfo(np.int64).min], np.int64),
-        "kdoc": np.array([-1], np.int64),
-        "kstart": np.array([-1], np.int64),
-        "__dup": np.array([True], bool)}))
-    joined = join_on_key(
-        wins,
-        verdict.map_batches(lambda df: df.assign(__dup=True),
-                            batch_format="pandas").union(sentinel_v),
-        "hash", num_buckets)
-
-    def _drops(df: pd.DataFrame) -> pd.DataFrame:
-        dup = df["__dup"].fillna(False).to_numpy(bool)
-        loser = dup & ~((df["kdoc"].to_numpy() == df["doc_id"].to_numpy())
-                        & (df["kstart"].to_numpy() == df["start"].to_numpy()))
-        sub = df[loser]
+    # loser election in ONE hash-keyed shuffle: a bucket holds whole
+    # hash-groups of (hash, doc_id, start); every occurrence after the
+    # (doc_id, start)-first of its hash is a drop row.  Emitting losers
+    # directly (instead of keepers) removes both the keeper-verdict
+    # reduce AND the verdict⋈windows join a keeper plan needs — and
+    # leaves ``wins`` with a single consumer (the explode runs once).
+    def _losers(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["hash", "doc_id", "start"],
+                                kind="mergesort")
+        sub = part[part.duplicated("hash", keep="first")]
         return pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(np.int64),
                              "start": sub["start"].to_numpy(np.int64)})
 
-    drops = joined.map_batches(_drops, batch_format="pandas")
+    drops = bucketed_group_apply(wins, "hash", _losers, num_buckets)
     sentinel_d = ray.data.from_pandas(pd.DataFrame({
         "doc_id": np.array([-1], np.int64),
         "start": np.array([-1], np.int64)}))
-
-    rejoined = join_on_key(
-        docs.select_columns([id_col, text_col]),
-        drops.union(sentinel_d), id_col, num_buckets)
 
     def _rebuild(part: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -679,7 +610,11 @@ def span_dedup(
         return pd.DataFrame(out, columns=["doc_id", "text", "n_tokens",
                                           "n_tokens_removed"])
 
-    return bucketed_group_apply(rejoined, id_col, _rebuild, num_buckets)
+    # the rebuild fuses into the doc-keyed join bucket (apply_fn), so the
+    # drop-list join and the per-doc rebuild share ONE shuffle
+    return join_on_key(docs.select_columns([id_col, text_col]),
+                       drops.union(sentinel_d), id_col, num_buckets,
+                       apply_fn=_rebuild)
 
 
 # ---------------------------------------------------------------------------

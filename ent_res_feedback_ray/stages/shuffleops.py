@@ -153,6 +153,7 @@ def join_on_key(
     key: str,
     num_buckets: int = 32,
     how: str = "left",
+    apply_fn=None,
 ) -> ray.data.Dataset:
     """Bucketed cogroup equi-join of two datasets on ``key`` — ONE shuffle
     of the tagged union, per-bucket C-speed pandas merge.  Doc-level
@@ -200,7 +201,12 @@ def join_on_key(
         r = part.loc[part["__is_r"], [key, *rcols]]
         return l.merge(r, on=key, how=how)
 
-    return bucketed_group_apply(tagged, key, _merge, num_buckets)
+    # apply_fn fuses a per-key-group consumer into the join's own bucket
+    # (the bucket holds whole key-groups), saving the follow-up
+    # bucketed_group_apply's full re-shuffle on the SAME key
+    bucket_fn = _merge if apply_fn is None else (
+        lambda part: apply_fn(_merge(part)))
+    return bucketed_group_apply(tagged, key, bucket_fn, num_buckets)
 
 
 def split_disjointness(ds: ray.data.Dataset, unit_col: str,
