@@ -31,6 +31,7 @@ from __future__ import annotations
 from itertools import chain
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -291,3 +292,77 @@ def decontaminate_sql(n: int = 13, bench_mod: int = 97) -> str:
     return (DECONTAMINATE_SQL
             .replace("{NM1}", str(n - 1)).replace("{NM2}", str(n - 2))
             .replace("{N}", str(n)).replace("{MOD}", str(bench_mod)))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (WARC-style first-per-URL pass)
+# ---------------------------------------------------------------------------
+
+# scheme / host / rest-without-fragment — named groups for pyarrow
+# extract_regex; DuckDB addresses the same groups by index (1, 2, 3).
+URL_PARTS_RE = r"(?i)^(?P<s>https?://)(?P<h>[^/?#]+)(?P<r>[^#]*).*$"
+TRACKING_RE = r"(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*&?"
+PORT_RE = r":(?:80|443)$"
+
+
+def canonicalize_url_array(urls: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization: lowercase scheme+host, strip the
+    default port, drop the fragment, remove tracking params
+    (utm_*/fbclid/gclid/ref), tidy separators, strip trailing slashes.
+    Non-URL strings pass through unchanged.  Every step is an RE2 kernel
+    run with the exact pattern the DuckDB twin uses."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, URL_PARTS_RE)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "s"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(parts, "h")), PORT_RE, "")
+    rest = pc.struct_field(parts, "r")
+    rest = pc.replace_substring_regex(rest, TRACKING_RE, "")
+    rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
+    rest = pc.replace_substring_regex(rest, r"\?&", "?")
+    rest = pc.replace_substring_regex(rest, r"/+$", "")
+    canon = pc.binary_join_element_wise(scheme, host, rest, "")
+    return pc.if_else(pc.is_valid(parts), canon, urls)
+
+
+# The same chain in DuckDB, over a column expression {U}
+CANONICAL_URL_SQL_EXPR = """
+CASE WHEN regexp_matches({U}, '{P}') THEN
+  lower(regexp_extract({U}, '{P}', 1))
+  || regexp_replace(lower(regexp_extract({U}, '{P}', 2)), '{PORT}', '')
+  || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_extract({U}, '{P}', 3),
+       '{T}', '', 'g'), '[?&]+$', '', 'g'), '\\?&', '?', 'g'), '/+$', '', 'g')
+ELSE {U} END
+""".strip().replace("{P}", URL_PARTS_RE).replace("{T}", TRACKING_RE) \
+    .replace("{PORT}", PORT_RE)
+
+
+def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
+              id_col: str = "doc_id", num_buckets: int = 32
+              ) -> ray.data.Dataset:
+    """First-capture-per-canonical-URL election (the WARC refresh-crawl
+    dedup): canonicalize every URL, then one bucketed aggregate keyed on
+    the canonical form.  Output: (canonical_url, keeper_doc_id, n_dups)."""
+    from .shuffleops import bucketed_aggregate
+
+    def _canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "canonical_url": canonicalize_url_array(t.column(url_col)),
+            id_col: t.column(id_col),
+        })
+
+    canon = pages.map_batches(_canon, batch_format="pyarrow")
+    agg = bucketed_aggregate(canon, "canonical_url", num_buckets,
+                             keeper_doc_id=(id_col, "min"),
+                             n=(id_col, "size"))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "canonical_url": df["canonical_url"],
+            "keeper_doc_id": df["keeper_doc_id"].astype(np.int64),
+            "n_dups": (df["n"] - 1).astype(np.int64),
+        })
+
+    return agg.map_batches(_final, batch_format="pandas")

@@ -160,3 +160,68 @@ def test_quality_repetition_metrics(tmp_path):
     assert out.loc[1, "dup_trigram_ratio"] == 0.0
     assert np.isnan(out.loc[2, "top_bigram_ratio"])
     assert np.isnan(out.loc[3, "dup_trigram_ratio"])
+
+
+def test_canonicalize_url_goldens():
+    from ent_res_feedback_ray.stages.curation import canonicalize_url_array
+
+    urls = pa.array([
+        "HTTPS://DUP.Example.COM:443/shared/7?utm_source=feed&id=3#frag",
+        "https://a.example.com/doc/5/",
+        "http://b.example.com:80/x?gclid=xyz&utm_medium=a",
+        "https://c.example.com/p?id=1&utm_term=q&ref=hp",
+        "https://d.example.com",
+        "not a url",
+    ])
+    out = canonicalize_url_array(urls).to_pylist()
+    assert out == [
+        "https://dup.example.com/shared/7?id=3",
+        "https://a.example.com/doc/5",
+        "http://b.example.com/x",
+        "https://c.example.com/p?id=1",
+        "https://d.example.com",
+        "not a url",
+    ]
+
+
+def test_url_dedup_matches_duckdb_twin(tmp_path):
+    """First-per-canonical-URL election vs a DuckDB twin built from the
+    same regex chain (CANONICAL_URL_SQL_EXPR), with planted mirrors,
+    tracking junk, case noise and default ports."""
+    from ent_res_feedback_ray.stages.curation import (
+        CANONICAL_URL_SQL_EXPR, url_dedup)
+
+    rows = []
+    for d in range(60):
+        if d % 5 == 1:
+            u = f"https://MIRROR.Example.COM:443/shared/{d // 5}?utm_source=x"
+        elif d % 5 == 2:
+            u = f"https://mirror.example.com/shared/{d // 5}/#frag"
+        else:
+            u = f"https://s{d % 3}.example.com/doc/{d}"
+            if d % 2 == 0:
+                u += f"?utm_campaign=c{d}&fbclid=z"
+            if d % 7 == 0:
+                u += "#top"
+    	# noqa
+        rows.append((d, u))
+    pages = pd.DataFrame(rows, columns=["doc_id", "url"])
+
+    out = url_dedup(ray.data.from_pandas(pages)).to_pandas() \
+        .sort_values("canonical_url").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("pages", pages)
+    expr = CANONICAL_URL_SQL_EXPR.replace("{U}", "url")
+    ora = con.execute(f"""
+        SELECT {expr} AS canonical_url,
+               min(doc_id) AS keeper_doc_id,
+               count(*) - 1 AS n_dups
+        FROM pages GROUP BY 1 ORDER BY 1
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.astype({"keeper_doc_id": "int64", "n_dups": "int64"}),
+        ora.astype({"keeper_doc_id": "int64", "n_dups": "int64"}))
+    # the planted mirror pairs collapsed: shared/{k} groups have 1 dup each
+    assert (out.loc[out["canonical_url"].str.contains("/shared/"),
+                    "n_dups"] == 1).all()
