@@ -366,3 +366,71 @@ def url_dedup(pages: ray.data.Dataset, url_col: str = "url",
         })
 
     return agg.map_batches(_final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter (Gopher-rule style keep/drop with reasons)
+# ---------------------------------------------------------------------------
+
+# (rule name, metric column, lo, hi) — first violated rule wins; NULL
+# metrics (empty docs) drop as 'empty'.  Bounds follow the Gopher-paper
+# shape (Rae et al. 2021 §A1.1) adapted to this table's metrics.
+QUALITY_RULES = (
+    ("mean_token_len", "mean_token_len", 2.0, 12.0),
+    ("stopword_ratio", "stopword_ratio", None, 0.5),
+    ("uniq_token_ratio", "uniq_token_ratio", 0.2, None),
+    ("top_bigram_ratio", "top_bigram_ratio", None, 0.25),
+    ("dup_trigram_ratio", "dup_trigram_ratio", None, 0.3),
+)
+
+
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, keep, reason) over the documents table: Gopher-style
+    threshold chain on the doc_quality metrics.  ``reason`` names the
+    FIRST violated rule ('' when kept, 'empty' when the metrics are NULL).
+    Stateless composition: quality_scores → one vectorized rule pass."""
+    from .textstats import quality_scores
+
+    def _rules(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        reason = np.full(n, "", dtype=object)
+        # NULL metrics = empty/degenerate doc (checked first, like the
+        # SQL twin's leading CASE arm)
+        empty = df["mean_token_len"].isna().to_numpy()
+        reason[empty] = "empty"
+        for name, col, lo, hi in QUALITY_RULES:
+            v = df[col].to_numpy(np.float64)
+            bad = np.zeros(n, bool)
+            if lo is not None:
+                bad |= v < lo
+            if hi is not None:
+                bad |= v > hi
+            # top_bigram/dup_trigram may be NaN on 1-2-token docs that are
+            # otherwise valid — NaN comparisons are False, so they pass
+            hit = bad & ~empty & (reason == "")
+            reason[hit] = name
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "keep": reason == "",
+            "reason": reason,
+        })
+
+    return quality_scores(sf_dir).map_batches(_rules, batch_format="pandas")
+
+
+def quality_filter_sql() -> str:
+    """DuckDB twin: QUALITY_SQL as a CTE + the same first-match CASE chain."""
+    from .textstats import QUALITY_SQL
+
+    arms = []
+    for name, col, lo, hi in QUALITY_RULES:
+        conds = []
+        if lo is not None:
+            conds.append(f"{col} < {lo}")
+        if hi is not None:
+            conds.append(f"{col} > {hi}")
+        arms.append(f"WHEN {' OR '.join(conds)} THEN '{name}'")
+    case = ("CASE WHEN mean_token_len IS NULL THEN 'empty' "
+            + " ".join(arms) + " ELSE '' END")
+    return (f"WITH q AS ({QUALITY_SQL})\n"
+            f"SELECT doc_id, {case} = '' AS keep, {case} AS reason FROM q")

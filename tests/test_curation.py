@@ -225,3 +225,39 @@ def test_url_dedup_matches_duckdb_twin(tmp_path):
     # the planted mirror pairs collapsed: shared/{k} groups have 1 dup each
     assert (out.loc[out["canonical_url"].str.contains("/shared/"),
                     "n_dups"] == 1).all()
+
+
+def test_quality_filter_matches_duckdb_twin(tmp_path):
+    """Gopher-rule composite filter: first-violated-rule reasons match the
+    SQL twin on crafted rule-trippers plus word-soup filler."""
+    from ent_res_feedback_ray.stages.curation import (quality_filter,
+                                                      quality_filter_sql)
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"tok{i}" for i in range(30)])
+    texts = [
+        "a b c d e f",                      # mean_token_len < 2
+        "the the the word word",            # stopword_ratio > 0.5
+        "word word word word word word",    # uniq_token_ratio < 0.2
+        "ab cd ab cd ab cd pq rs tu vw",    # top_bigram_ratio > 0.25
+        "",                                 # empty
+        "reasonable unique sentence with several different tokens inside",
+    ] + [" ".join(rng.choice(vocab, 25)) for _ in range(40)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out = quality_filter(str(sf)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ora = con.execute(quality_filter_sql() + " ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(out[ora.columns.tolist()], ora,
+                                  check_dtype=False)
+    assert out["reason"].tolist()[:6] == [
+        "mean_token_len", "stopword_ratio", "uniq_token_ratio",
+        "top_bigram_ratio", "empty", ""]
