@@ -710,3 +710,118 @@ def winnow_dedup_pairs(sf_dir: str, min_shared: int = 3,
                              "overlap": ov[keep]})
 
     return wide.map_batches(_verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# near-dup KEEP SET: pairs → connected components → representative election
+# (what a user actually does with dup pairs before training — assemble
+# duplicate clusters and keep one representative per cluster)
+# ---------------------------------------------------------------------------
+
+def neardup_components(pairs: ray.data.Dataset, nodes: ray.data.Dataset,
+                       id1: str = "id1", id2: str = "id2"
+                       ) -> ray.data.Dataset:
+    """Duplicate-pair edges → per-doc cluster assignment.
+
+    ``pairs`` is any verified dup-pair table (minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs, winnow_dedup_pairs...);
+    ``nodes`` is the doc-id universe as a (node:int64) Dataset so
+    singletons (docs with no duplicate) get their own cluster.
+
+    Output: (doc_id, dup_cluster_id, is_keeper) — cluster id is the
+    component-min doc_id, keeper = the min-id member (deterministic
+    first-occurrence election, same convention as exact_dedup_groups /
+    paragraph_dedup).
+
+    Scale shape: edge list is bounded by the verified dup pairs (tiny
+    relative to the corpus); components run on the bounded driver path
+    below 2M edges and the distributed label-propagation fixpoint above
+    it (state/unionfind.py:120).  The node universe never leaves the
+    object store — singleton fill is a broadcast map over ``nodes``.
+    """
+    from ..state.unionfind import connected_components
+
+    def _edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": pc.cast(t.column(id1), pa.int64()),
+            "dst": pc.cast(t.column(id2), pa.int64()),
+        })
+
+    labels = connected_components(
+        pairs.map_batches(_edges, batch_format="pyarrow"), nodes=nodes)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": n,
+            "dup_cluster_id": lab,
+            "is_keeper": n == lab,
+        })
+
+    return labels.map_batches(_final, batch_format="pandas")
+
+
+def neardup_keep_set(sf_dir: str, threshold: float = 0.5,
+                     method: str = "minhash") -> ray.data.Dataset:
+    """Near-dup removal end to end: dup pairs (LSH scale path by default,
+    exact n-gram Jaccard when ``method='ngram'`` — the SQL-twinnable
+    variant) → connected components → (doc_id, dup_cluster_id, is_keeper).
+
+    Keep set = rows where is_keeper; training corpus = semi-join of the
+    documents table on those ids (one bucketed hash join, no driver pull).
+    """
+    pairs = (ngram_jaccard_pairs(sf_dir, threshold) if method == "ngram"
+             else minhash_lsh_pairs(sf_dir, threshold))
+    ids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow")
+    return neardup_components(pairs.select_columns(["id1", "id2"]), ids)
+
+
+# DuckDB twin (pytest parity; uses the exact n-gram pair source so the
+# edge set itself is SQL-reproducible): symmetric edge closure via a
+# recursive min-label reachability CTE, then component-min election.
+NEARDUP_KEEP_SET_SQL = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN n = '' THEN []::VARCHAR[]
+         WHEN len(string_split(n, ' ')) < 3 THEN [n]
+         ELSE list_distinct(list_transform(range(1, len(string_split(n, ' ')) - 1),
+              i -> string_split(n, ' ')[i] || ' ' || string_split(n, ' ')[i+1]
+                   || ' ' || string_split(n, ' ')[i+2])) END AS s
+  FROM norm
+),
+dup AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.s, b.s))) >= {THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM dup
+  UNION ALL
+  SELECT id2, id1 FROM dup
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id,
+       MIN(r) AS dup_cluster_id,
+       MIN(r) = node AS is_keeper
+FROM reach GROUP BY node
+""".strip()
+
+
+def neardup_keep_set_sql(threshold: float = 0.5) -> str:
+    return NEARDUP_KEEP_SET_SQL.replace("{THRESHOLD}", repr(float(threshold)))

@@ -231,3 +231,64 @@ def test_span_dedup_matches_duckdb_twin(tmp_path):
         out.astype({"n_tokens": "int64", "n_tokens_removed": "int64"}),
         ora.astype({"n_tokens": "int64", "n_tokens_removed": "int64"}))
     assert (out["n_tokens_removed"] > 0).sum() >= 3
+
+
+def test_neardup_keep_set_matches_duckdb_recursive_twin(tmp_path):
+    """pairs → connected components → keeper election, against a DuckDB
+    recursive-CTE (min-label reachability) twin on planted dup CHAINS:
+    a~b and b~c but a!~c must still land in ONE cluster (transitive
+    closure — the property a pair-list alone doesn't give you)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.stages.dedup import (neardup_keep_set,
+                                                   neardup_keep_set_sql)
+
+    base = ("large language models are trained on deduplicated web corpora "
+            "because repeated content wastes compute and hurts quality ")
+    rows = []
+    for d in range(12):
+        fam, pos = divmod(d, 3)
+        # family-specific token suffix → cross-family jaccard is 0
+        words = [f"{w}{fam}" for w in base.split()]
+        # chain: member 1 shares a prefix with 0 and a suffix with 2,
+        # while 0 and 2 overlap less
+        if pos == 1:
+            txt = " ".join(words)
+        elif pos == 0:
+            txt = " ".join(words[: int(len(words) * 0.8)]) + " head variant"
+        else:
+            txt = "tail variant " + " ".join(words[int(len(words) * 0.2):])
+        rows.append({"doc_id": d, "text": txt, "lang": "en", "source": "t",
+                     "n_chars": len(txt)})
+    # plus singletons that must keep themselves
+    for d in range(12, 16):
+        rows.append({"doc_id": d,
+                     "text": f"completely unrelated document {d} about "
+                             f"topic {d * 7} with its own words only",
+                     "lang": "en", "source": "t", "n_chars": 1})
+    docs = pd.DataFrame(rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    got = (neardup_keep_set(str(sf), threshold=0.5, method="ngram")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(neardup_keep_set_sql(0.5)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"dup_cluster_id": np.int64, "is_keeper": bool}),
+        want.astype({"doc_id": np.int64, "dup_cluster_id": np.int64,
+                     "is_keeper": bool}))
+    # the planted chains actually closed transitively: 4 families of 3
+    fam_sizes = got.groupby("dup_cluster_id").size()
+    assert sorted(fam_sizes[fam_sizes > 1].tolist()) == [3, 3, 3, 3]
+    assert got["is_keeper"].sum() == 4 + 4  # one keeper/family + singletons
+
+    # the LSH scale path elects the same keepers on this high-sim corpus
+    lsh = (neardup_keep_set(str(sf), threshold=0.5, method="minhash")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_series_equal(lsh["is_keeper"], got["is_keeper"])
