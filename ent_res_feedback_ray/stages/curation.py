@@ -434,3 +434,144 @@ def quality_filter_sql() -> str:
             + " ".join(arms) + " ELSE '' END")
     return (f"WITH q AS ({QUALITY_SQL})\n"
             f"SELECT doc_id, {case} = '' AS keep, {case} AS reason FROM q")
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus: the full LM-data hygiene funnel in one pipeline
+# ---------------------------------------------------------------------------
+
+def curate_corpus(sf_dir: str, n: int = 13, bench_mod: int = 17
+                  ) -> ray.data.Dataset:
+    """End-to-end training-corpus curation over the documents table —
+    the production composition of this module's stages, with
+    first-dropping-stage attribution:
+
+      benchmark > exact_dup > lang > quality > contaminated
+
+    then survivors get corpus-level paragraph dedup + PII redaction.
+    Output (one row per doc): (doc_id, kept, drop_stage, curated_text,
+    n_paras_dropped); ``curated_text`` is '' for dropped docs.
+
+    Scale shape: every verdict table carries (doc_id + a flag) ONLY —
+    full text never enters a verdict exchange.  The stages re-read the
+    column-pruned parquet (embarrassingly parallel) instead of fanning
+    one materialized corpus into four consumers; the only text-bearing
+    exchanges are the survivor semi-join and paragraph_dedup's fused
+    drop⋈docs rebuild.  All verdict joins share ONE key (doc_id).
+    """
+    from .dedup import exact_dedup_groups, paragraph_dedup
+    from .shuffleops import join_on_key
+    from .textstats import lang_id
+
+    ex = exact_dedup_groups(sf_dir)                       # doc_id, canonical_id
+    li = lang_id(sf_dir).select_columns(["doc_id", "is_english"])
+    qf = quality_filter(sf_dir).select_columns(["doc_id", "reason"])
+    de = decontaminate_docs(sf_dir, n=n, bench_mod=bench_mod) \
+        .select_columns(["doc_id", "contaminated"])       # non-benchmark rows
+
+    v = join_on_key(ex, li, "doc_id", how="left")
+    v = join_on_key(v, qf, "doc_id", how="left")
+    v = join_on_key(v, de, "doc_id", how="left")          # benchmark → NaN
+
+    def _verdict(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        stage = np.full(len(df), "", dtype=object)
+        # NaN-safe truthiness (benchmark rows come back NULL from the
+        # left join): NaN == True is False, no object downcasting
+        contaminated = (df["contaminated"] == True).to_numpy(bool)  # noqa: E712
+        for mask, name in (
+            (ids % bench_mod == 0, "benchmark"),
+            (df["canonical_id"].to_numpy(np.int64) != ids, "exact_dup"),
+            (~df["is_english"].to_numpy(bool), "lang"),
+            ((df["reason"] != "").to_numpy(), "quality"),
+            (contaminated, "contaminated"),
+        ):
+            stage[mask & (stage == "")] = name
+        return pd.DataFrame({"doc_id": ids, "drop_stage": stage})
+
+    # materialize the LIGHT verdict table (doc_id + stage name only — never
+    # text): the dropped and kept branches below would otherwise each
+    # re-execute the whole verdict subplan, and two copies of the
+    # decontaminate actor pool can deadlock a small CPU budget
+    v = v.map_batches(_verdict, batch_format="pandas").materialize()
+
+    def _dropped(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["drop_stage"] != ""]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(np.int64),
+            "kept": np.zeros(len(d), bool),
+            "drop_stage": d["drop_stage"],
+            "curated_text": np.full(len(d), "", dtype=object),
+            "n_paras_dropped": np.zeros(len(d), np.int64),
+        })
+
+    dropped = v.map_batches(_dropped, batch_format="pandas")
+
+    kept_ids = v.map_batches(
+        lambda df: df.loc[df["drop_stage"] == "", ["doc_id"]],
+        batch_format="pandas")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kept_docs = join_on_key(docs, kept_ids, "doc_id", how="semi")
+    rebuilt = paragraph_dedup(kept_docs)                  # doc_id,text,n_paras,n_dropped
+    red = redact_pii(rebuilt.select_columns(["doc_id", "text", "n_dropped"]))
+
+    def _kept(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "kept": np.ones(len(df), bool),
+            "drop_stage": np.full(len(df), "", dtype=object),
+            "curated_text": df["redacted_text"],
+            "n_paras_dropped": df["n_dropped"].to_numpy(np.int64),
+        })
+
+    return dropped.union(red.map_batches(_kept, batch_format="pandas"))
+
+
+def curate_corpus_sql(n: int = 13, bench_mod: int = 17) -> str:
+    """Composed DuckDB twin: every arm reuses the stage's own verified
+    twin verbatim (nested-WITH derived tables), so the composite stays
+    bit-exact by construction."""
+    from .dedup import EXACT_DEDUP_SQL, PARAGRAPH_DEDUP_SQL
+    from .textstats import LANG_ID_SQL
+
+    para = PARAGRAPH_DEDUP_SQL.replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH lang AS (SELECT * FROM ({LANG_ID_SQL})),
+qual AS (SELECT * FROM ({quality_filter_sql()})),
+decon AS (SELECT * FROM ({decontaminate_sql(n, bench_mod)})),
+fp AS (SELECT * FROM ({EXACT_DEDUP_SQL})),
+verdict AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % {bench_mod} = 0 THEN 'benchmark'
+         WHEN f.canonical_id <> d.doc_id THEN 'exact_dup'
+         WHEN NOT l.is_english THEN 'lang'
+         WHEN q.reason <> '' THEN 'quality'
+         WHEN coalesce(c.contaminated, FALSE) THEN 'contaminated'
+         ELSE '' END AS drop_stage
+  FROM documents d
+  JOIN fp f USING (doc_id)
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  LEFT JOIN decon c USING (doc_id)
+),
+kept_docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN verdict v USING (doc_id)
+  WHERE v.drop_stage = ''
+),
+rebuilt AS (SELECT * FROM ({para})),
+red AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+        '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{IP_RE}', '<IP>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g') AS curated_text,
+    n_dropped
+  FROM rebuilt
+)
+SELECT v.doc_id,
+       v.drop_stage = '' AS kept,
+       v.drop_stage,
+       coalesce(r.curated_text, '') AS curated_text,
+       CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_paras_dropped
+FROM verdict v LEFT JOIN red r USING (doc_id)
+""".strip()

@@ -261,3 +261,75 @@ def test_quality_filter_matches_duckdb_twin(tmp_path):
     assert out["reason"].tolist()[:6] == [
         "mean_token_len", "stopword_ratio", "uniq_token_ratio",
         "top_bigram_ratio", "empty", ""]
+
+
+def test_curate_corpus_every_arm_matches_composed_twin(tmp_path):
+    """The full curation funnel (benchmark > exact_dup > lang > quality >
+    contaminated, survivors paragraph-deduped + PII-redacted) against the
+    composed DuckDB twin, on a corpus crafted to hit EVERY drop arm."""
+    from ent_res_feedback_ray.stages.curation import (curate_corpus,
+                                                      curate_corpus_sql)
+
+    boiler = ("subscribe to the newsletter and follow the weekly updates "
+              "from a team of writers in the field ")
+    bench_text = ("the quick brown fox jumps over the lazy dog in a "
+                  "sunny meadow of wild flowers near the river")
+    keepers = {
+        1: "the first article is a long note about rivers and it keeps "
+           "a steady mix of words in every line\n\n" + boiler,
+        2: boiler + "\n\nthe second article is a different note about "
+                    "mountains and it is written in plain words",
+        3: "the third piece is a mail note to a friend at "
+           "someone@example.org about the plan for a trip in the fall",
+    }
+    rows = []
+    for d, t in keepers.items():
+        rows.append({"doc_id": d, "text": t, "lang": "en"})
+    # 0 mod 7 → benchmark (also the contamination source)
+    rows.append({"doc_id": 0, "text": bench_text, "lang": "en"})
+    # exact dup pair: 4 is canonical, 5 drops (same normalized text)
+    dup = ("the fourth article is a short clean note about the sea and "
+           "a boat trip in the morning sun with friends")
+    rows.append({"doc_id": 4, "text": dup, "lang": "en"})
+    rows.append({"doc_id": 5, "text": dup.upper(), "lang": "en"})
+    # lang drop: German marker words dominate
+    rows.append({"doc_id": 6, "text": "der hund und die katze das haus "
+                                      "ist ein tier und der baum", "lang": "de"})
+    # quality drop: stopword saturation
+    rows.append({"doc_id": 8, "text": "the and of to a in is " * 6,
+                 "lang": "en"})
+    # contaminated: shares a 5-gram with benchmark doc 0
+    rows.append({"doc_id": 9, "text": "the quick brown fox jumps over a "
+                                      "fence and the story is a new one "
+                                      "in every other way told by a kid",
+                 "lang": "en"})
+    docs = pd.DataFrame(rows).assign(source="t")
+    docs["n_chars"] = docs["text"].str.len()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    got = (curate_corpus(str(sf), n=5, bench_mod=7).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(curate_corpus_sql(n=5, bench_mod=7)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64, "kept": bool,
+                    "n_paras_dropped": np.int64}),
+        want[got.columns].astype({"doc_id": np.int64, "kept": bool,
+                                  "n_paras_dropped": np.int64}))
+
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "drop_stage"] == "benchmark"
+    assert byid.loc[4, "kept"] and byid.loc[5, "drop_stage"] == "exact_dup"
+    assert byid.loc[6, "drop_stage"] == "lang"
+    assert byid.loc[8, "drop_stage"] == "quality"
+    assert byid.loc[9, "drop_stage"] == "contaminated"
+    # survivors: boilerplate kept only at its first occurrence, PII gone
+    assert boiler.strip() in byid.loc[1, "curated_text"]
+    assert boiler.strip() not in byid.loc[2, "curated_text"]
+    assert byid.loc[2, "n_paras_dropped"] == 1
+    assert "<EMAIL>" in byid.loc[3, "curated_text"]
+    assert "someone@example.org" not in byid.loc[3, "curated_text"]
