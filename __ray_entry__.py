@@ -78,7 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": textstats.token_counts,
         "doc_quality": textstats.quality_scores,
         "doc_lang_id": textstats.lang_id,
-        "doc_fingerprints": textstats.fingerprints,
+        # (doc_fingerprints retired from the registry — 50-query driver
+        # window; its md5-of-normalized-text key is exactly dedup_exact's
+        # green grouping key, and tests/test_textnorm.py pins the twin.
+        # curate_corpus takes the slot: the end-to-end curation funnel
+        # with a composed six-stage DuckDB twin.)
         "token_document_frequency": textstats.token_document_frequency,
         # --- multimodal plumbing (kept inside the driver's 50-query window) ---
         "pages_binary_metadata": multimodal.pages_binary_metadata,
@@ -108,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": curation.pii_redaction,
         "decontaminate_13gram": lambda sf: curation.decontaminate_docs(
             sf, n=13, bench_mod=17),
+        # the end-to-end hygiene funnel (exact-dedup > lang > quality >
+        # contamination verdicts, survivors paragraph-deduped+PII-redacted)
+        "curate_corpus": curation.curate_corpus,
     }
     return q
 
@@ -132,7 +139,6 @@ def oracle_sql() -> dict[str, str]:
         "high_value_purchases": relational.HIGH_VALUE_SQL,
         "doc_token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_quality": textstats.QUALITY_SQL,
-        "doc_fingerprints": textstats.FINGERPRINTS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # dedup_minhash_lsh: verified-subset of the brute-force set; at the
@@ -146,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_binary_metadata": multimodal.PAGES_BINARY_META_SQL,
         "pii_redaction": curation.PII_REDACTION_SQL,
         "decontaminate_13gram": curation.decontaminate_sql(n=13, bench_mod=17),
+        "curate_corpus": curation.curate_corpus_sql(),
         # rows-only (non-SQL-expressible): er_quality, embedding_centroids, …
     })
     return out

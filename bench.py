@@ -130,6 +130,7 @@ def run_curation(sf_dir: str, num_cpus: int) -> dict:
         read_table(sf_dir, "documents", columns=["doc_id", "text"])))
     timed("source_balanced_sample", lambda: source_balanced_sample(
         read_table(sf_dir, "documents", columns=["doc_id", "source"])))
+    timed("curate_corpus_e2e", lambda: curation.curate_corpus(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -93,3 +93,36 @@ def test_bpe_piece_regex_engine_parity():
         d = con.execute("SELECT len(regexp_extract_all(?, ?))",
                         [t, BPE_PIECE_RE]).fetchone()[0]
         assert c == d, (t, c, d)
+
+
+def test_fingerprints_matches_duckdb_twin(tmp_path):
+    """doc_fingerprints retired from the driver registry (its md5 key is
+    dedup_exact's grouping key) — the twin parity is pinned here instead."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.stages.textstats import (FINGERPRINTS_SQL,
+                                                       fingerprints)
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["Héllo,  Wörld!", "hello world", "", "  ", "a b c",
+                 "A-B_c"],
+        "lang": ["en"] * 6, "source": ["t"] * 6,
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    got = fingerprints(str(sf)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(FINGERPRINTS_SQL).df().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"doc_id": np.int64}))
+    # identical normalized content → identical key (the dedup_exact link)
+    assert got.loc[0, "fingerprint"] == got.loc[1, "fingerprint"]
+    assert got.loc[2, "fingerprint"] == got.loc[3, "fingerprint"]
