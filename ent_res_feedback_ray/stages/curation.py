@@ -209,13 +209,7 @@ class _DecontaminateBatch:
                              "n_overlap_ngrams": pa.array([], pa.int64()),
                              "contaminated": pa.array([], pa.bool_())})
         norm = normalize_text_array(sub.column("text")).to_pylist()
-        gdoc, g = _doc_distinct_ngram_hashes(norm, self.n)
-        counts = np.zeros(sub.num_rows, dtype=np.int64)
-        if g.size and self.bench.size:
-            idx = np.searchsorted(self.bench, g)
-            idx_c = np.minimum(idx, self.bench.size - 1)
-            hit = self.bench[idx_c] == g
-            counts = np.bincount(gdoc[hit], minlength=sub.num_rows)
+        counts = _collision_counts(self.bench, norm, self.n)
         return pa.table({
             "doc_id": sub.column("doc_id"),
             "n_overlap_ngrams": pa.array(counts, pa.int64()),
@@ -223,12 +217,9 @@ class _DecontaminateBatch:
         })
 
 
-def decontaminate(ds: ray.data.Dataset, n: int = 13, bench_mod: int = 97
-                  ) -> ray.data.Dataset:
-    """Flag corpus docs sharing any word n-gram with the benchmark subset
-    (docs with doc_id % bench_mod == 0 stand in for the held-out suite).
-    Returns (doc_id, n_overlap_ngrams, contaminated) for NON-benchmark
-    docs; n_overlap_ngrams counts the doc's distinct colliding n-grams."""
+def _bench_ngrams_ref(ds: ray.data.Dataset, n: int, bench_mod: int):
+    """Assemble the benchmark side's distinct n-gram hash set INSIDE Ray
+    tasks (the driver only ever holds the ObjectRef of the sorted array)."""
 
     def _bench_hashes(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id").combine_chunks())
@@ -241,8 +232,31 @@ def decontaminate(ds: ray.data.Dataset, n: int = 13, bench_mod: int = 97
 
     bench_blocks = ds.map_batches(
         _bench_hashes, batch_format="pyarrow").to_arrow_refs()
-    bench_ref = _merge_bench_hashes.remote(BENCH_NGRAM_CAP, *bench_blocks)
+    return _merge_bench_hashes.remote(BENCH_NGRAM_CAP, *bench_blocks)
 
+
+def _collision_counts(bench: np.ndarray, norm_texts: list, n: int
+                      ) -> np.ndarray:
+    """Distinct n-grams of each normalized text colliding with the sorted
+    benchmark hash array — the vectorized searchsorted membership kernel
+    shared by _DecontaminateBatch and the fused curate_corpus verdict."""
+    gdoc, g = _doc_distinct_ngram_hashes(norm_texts, n)
+    counts = np.zeros(len(norm_texts), dtype=np.int64)
+    if g.size and bench.size:
+        idx = np.searchsorted(bench, g)
+        idx_c = np.minimum(idx, bench.size - 1)
+        hit = bench[idx_c] == g
+        counts = np.bincount(gdoc[hit], minlength=len(norm_texts))
+    return counts
+
+
+def decontaminate(ds: ray.data.Dataset, n: int = 13, bench_mod: int = 97
+                  ) -> ray.data.Dataset:
+    """Flag corpus docs sharing any word n-gram with the benchmark subset
+    (docs with doc_id % bench_mod == 0 stand in for the held-out suite).
+    Returns (doc_id, n_overlap_ngrams, contaminated) for NON-benchmark
+    docs; n_overlap_ngrams counts the doc's distinct colliding n-grams."""
+    bench_ref = _bench_ngrams_ref(ds, n, bench_mod)
     return ds.map_batches(
         _DecontaminateBatch, fn_constructor_args=(bench_ref, n, bench_mod),
         batch_format="pyarrow", concurrency=(1, 8))
@@ -392,23 +406,7 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
     from .textstats import quality_scores
 
     def _rules(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        reason = np.full(n, "", dtype=object)
-        # NULL metrics = empty/degenerate doc (checked first, like the
-        # SQL twin's leading CASE arm)
-        empty = df["mean_token_len"].isna().to_numpy()
-        reason[empty] = "empty"
-        for name, col, lo, hi in QUALITY_RULES:
-            v = df[col].to_numpy(np.float64)
-            bad = np.zeros(n, bool)
-            if lo is not None:
-                bad |= v < lo
-            if hi is not None:
-                bad |= v > hi
-            # top_bigram/dup_trigram may be NaN on 1-2-token docs that are
-            # otherwise valid — NaN comparisons are False, so they pass
-            hit = bad & ~empty & (reason == "")
-            reason[hit] = name
+        reason = quality_drop_reasons(df)
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "keep": reason == "",
@@ -416,6 +414,30 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
         })
 
     return quality_scores(sf_dir).map_batches(_rules, batch_format="pandas")
+
+
+def quality_drop_reasons(df: pd.DataFrame) -> np.ndarray:
+    """First-violated-rule name per row ('' = keep, 'empty' = NULL
+    metrics) over the quality_metrics columns — shared by the standalone
+    quality_filter query and the fused curate_corpus verdict pass."""
+    n = len(df)
+    reason = np.full(n, "", dtype=object)
+    # NULL metrics = empty/degenerate doc (checked first, like the
+    # SQL twin's leading CASE arm)
+    empty = df["mean_token_len"].isna().to_numpy()
+    reason[empty] = "empty"
+    for name, col, lo, hi in QUALITY_RULES:
+        v = df[col].to_numpy(np.float64)
+        bad = np.zeros(n, bool)
+        if lo is not None:
+            bad |= v < lo
+        if hi is not None:
+            bad |= v > hi
+        # top_bigram/dup_trigram may be NaN on 1-2-token docs that are
+        # otherwise valid — NaN comparisons are False, so they pass
+        hit = bad & ~empty & (reason == "")
+        reason[hit] = name
+    return reason
 
 
 def quality_filter_sql() -> str:
@@ -440,6 +462,38 @@ def quality_filter_sql() -> str:
 # curate_corpus: the full LM-data hygiene funnel in one pipeline
 # ---------------------------------------------------------------------------
 
+class _CurateVerdictBatch:
+    """Fused per-doc verdict pass for curate_corpus: md5 fingerprint,
+    language-ID, quality-rule reason, and benchmark n-gram contamination
+    in ONE read of the corpus.  Reuses the standalone stages\' own batch
+    kernels verbatim (textstats.lang_id_batch / quality_metrics_batch,
+    _collision_counts), so the fused funnel stays bit-exact with the
+    composed DuckDB twin."""
+
+    def __init__(self, bench_ref, n: int, bench_mod: int):
+        self.bench = ray.get(bench_ref)
+        self.n = n
+        self.bench_mod = bench_mod
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        from .textstats import lang_id_batch, quality_metrics_batch
+
+        lid = lang_id_batch(t)
+        qm = quality_metrics_batch(t).to_pandas()
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in norm]
+        contaminated = _collision_counts(self.bench, norm, self.n) > 0
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.string()),
+            "is_english": lid.column("is_english"),
+            "q_reason": pa.array(quality_drop_reasons(qm), pa.string()),
+            "contaminated": pa.array(contaminated),
+        })
+
+
 def curate_corpus(sf_dir: str, n: int = 13, bench_mod: int = 17
                   ) -> ray.data.Dataset:
     """End-to-end training-corpus curation over the documents table —
@@ -452,39 +506,35 @@ def curate_corpus(sf_dir: str, n: int = 13, bench_mod: int = 17
     Output (one row per doc): (doc_id, kept, drop_stage, curated_text,
     n_paras_dropped); ``curated_text`` is '' for dropped docs.
 
-    Scale shape: every verdict table carries (doc_id + a flag) ONLY —
-    full text never enters a verdict exchange.  The stages re-read the
-    column-pruned parquet (embarrassingly parallel) instead of fanning
-    one materialized corpus into four consumers; the only text-bearing
-    exchanges are the survivor semi-join and paragraph_dedup's fused
-    drop⋈docs rebuild.  All verdict joins share ONE key (doc_id).
+    Scale shape: ONE fused verdict pass over the corpus (fingerprint +
+    lang + quality + contamination flags in a single actor-pool
+    map_batches — the benchmark n-gram set is a plasma broadcast), then
+    ONE light shuffle on the fingerprint for the exact-dup election +
+    precedence resolution.  Full text never enters a verdict exchange;
+    the only text-bearing exchanges are the survivor semi-join and
+    paragraph_dedup's fused drop⋈docs rebuild.
     """
-    from .dedup import exact_dedup_groups, paragraph_dedup
-    from .shuffleops import join_on_key
-    from .textstats import lang_id
+    from .dedup import paragraph_dedup
+    from .shuffleops import bucketed_group_apply, join_on_key
 
-    ex = exact_dedup_groups(sf_dir)                       # doc_id, canonical_id
-    li = lang_id(sf_dir).select_columns(["doc_id", "is_english"])
-    qf = quality_filter(sf_dir).select_columns(["doc_id", "reason"])
-    de = decontaminate_docs(sf_dir, n=n, bench_mod=bench_mod) \
-        .select_columns(["doc_id", "contaminated"])       # non-benchmark rows
+    docs3 = read_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "lang"])
+    bench_ref = _bench_ngrams_ref(docs3, n, bench_mod)
+    verdicts = docs3.map_batches(
+        _CurateVerdictBatch, fn_constructor_args=(bench_ref, n, bench_mod),
+        batch_format="pyarrow", concurrency=(1, 8))
 
-    v = join_on_key(ex, li, "doc_id", how="left")
-    v = join_on_key(v, qf, "doc_id", how="left")
-    v = join_on_key(v, de, "doc_id", how="left")          # benchmark → NaN
-
-    def _verdict(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        stage = np.full(len(df), "", dtype=object)
-        # NaN-safe truthiness (benchmark rows come back NULL from the
-        # left join): NaN == True is False, no object downcasting
-        contaminated = (df["contaminated"] == True).to_numpy(bool)  # noqa: E712
+    def _stage(part: pd.DataFrame) -> pd.DataFrame:
+        ids = part["doc_id"].to_numpy(np.int64)
+        canonical = part.groupby("fingerprint")["doc_id"] \
+            .transform("min").to_numpy(np.int64)
+        stage = np.full(len(part), "", dtype=object)
         for mask, name in (
             (ids % bench_mod == 0, "benchmark"),
-            (df["canonical_id"].to_numpy(np.int64) != ids, "exact_dup"),
-            (~df["is_english"].to_numpy(bool), "lang"),
-            ((df["reason"] != "").to_numpy(), "quality"),
-            (contaminated, "contaminated"),
+            (ids != canonical, "exact_dup"),
+            (~part["is_english"].to_numpy(bool), "lang"),
+            ((part["q_reason"] != "").to_numpy(), "quality"),
+            (part["contaminated"].to_numpy(bool), "contaminated"),
         ):
             stage[mask & (stage == "")] = name
         return pd.DataFrame({"doc_id": ids, "drop_stage": stage})
@@ -492,8 +542,8 @@ def curate_corpus(sf_dir: str, n: int = 13, bench_mod: int = 17
     # materialize the LIGHT verdict table (doc_id + stage name only — never
     # text): the dropped and kept branches below would otherwise each
     # re-execute the whole verdict subplan, and two copies of the
-    # decontaminate actor pool can deadlock a small CPU budget
-    v = v.map_batches(_verdict, batch_format="pandas").materialize()
+    # verdict actor pool can deadlock a small CPU budget
+    v = bucketed_group_apply(verdicts, "fingerprint", _stage).materialize()
 
     def _dropped(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["drop_stage"] != ""]

@@ -73,98 +73,98 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """Quality heuristics: mean token length, stopword ratio ('the'/'a'),
     uniq-token ratio.  Exactly-rounded ops → bit-exact SQL twin."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_metrics_batch, batch_format="pyarrow")
 
-    def _quality(t: pa.Table) -> pa.Table:
-        # fully vectorized: token/char counts from Arrow kernels; stopword
-        # hits via one RE2 pass; distinct-per-doc via the flat
-        # fnv + lexsort segment trick (no per-doc Python loop)
-        from itertools import chain
 
-        from ..functions.hashing import fnv1a64
+def quality_metrics_batch(t: pa.Table) -> pa.Table:
+    # fully vectorized: token/char counts from Arrow kernels; stopword
+    # hits via one RE2 pass; distinct-per-doc via the flat
+    # fnv + lexsort segment trick (no per-doc Python loop)
+    from itertools import chain
 
-        norm_arr = normalize_text_array(t.column("text"))
-        n = t.num_rows
-        n_tok = pc.cast(token_count_array(norm_arr), pa.int64()) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        n_chars = pc.utf8_length(norm_arr).to_numpy(zero_copy_only=False) \
+    from ..functions.hashing import fnv1a64
+
+    norm_arr = normalize_text_array(t.column("text"))
+    n = t.num_rows
+    n_tok = pc.cast(token_count_array(norm_arr), pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = pc.utf8_length(norm_arr).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    # norm text is single-space-separated [a-z0-9]+ tokens, so
+    # total token chars = len(norm) − (n_tok − 1) separators
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_tok = np.where(n_tok > 0,
+                            (n_chars - (n_tok - 1)) / n_tok, np.nan)
+        stops = pc.count_substring_regex(
+            norm_arr, r"\b(the|a)\b").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        # norm text is single-space-separated [a-z0-9]+ tokens, so
-        # total token chars = len(norm) − (n_tok − 1) separators
+        stop_ratio = np.where(n_tok > 0, stops / n_tok, np.nan)
+    # distinct tokens per doc: hash all tokens once, lexsort (doc, hash),
+    # count segment-first rows per doc
+    norms = norm_arr.to_pylist()
+    tok_lists = [s.split() for s in norms]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+    uniq_ratio = np.full(n, np.nan)
+    # Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs):
+    # top-bigram mass fraction + duplicate-trigram fraction, both from
+    # the same flat token-hash array with doc-boundary-aware rolling
+    # combines — no per-doc Python loop.
+    top_bigram = np.full(n, np.nan)
+    dup_trigram = np.full(n, np.nan)
+    m = int(lens.sum())
+    if m:
+        from ..functions.hashing import _FNV_PRIME
+
+        h = fnv1a64(list(chain.from_iterable(tok_lists)))
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((h, doc))
+        hs, ds_ = h[order], doc[order]
+        first = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+        nuniq = np.bincount(ds_[first], minlength=n).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            mean_tok = np.where(n_tok > 0,
-                                (n_chars - (n_tok - 1)) / n_tok, np.nan)
-            stops = pc.count_substring_regex(
-                norm_arr, r"\b(the|a)\b").to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            stop_ratio = np.where(n_tok > 0, stops / n_tok, np.nan)
-        # distinct tokens per doc: hash all tokens once, lexsort (doc, hash),
-        # count segment-first rows per doc
-        norms = norm_arr.to_pylist()
-        tok_lists = [s.split() for s in norms]
-        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
-        uniq_ratio = np.full(n, np.nan)
-        # Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs):
-        # top-bigram mass fraction + duplicate-trigram fraction, both from
-        # the same flat token-hash array with doc-boundary-aware rolling
-        # combines — no per-doc Python loop.
-        top_bigram = np.full(n, np.nan)
-        dup_trigram = np.full(n, np.nan)
-        m = int(lens.sum())
-        if m:
-            from ..functions.hashing import _FNV_PRIME
-
-            h = fnv1a64(list(chain.from_iterable(tok_lists)))
-            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-            order = np.lexsort((h, doc))
-            hs, ds_ = h[order], doc[order]
-            first = np.concatenate(
-                [[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
-            nuniq = np.bincount(ds_[first], minlength=n).astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                uniq_ratio = np.where(lens > 0, nuniq / lens, np.nan)
-            if m >= 2:
-                with np.errstate(over="ignore"):
-                    g2 = (h[:-1] * _FNV_PRIME) ^ h[1:]
-                v = doc[:-1] == doc[1:]
-                g2, d2 = g2[v], doc[:-1][v]
-                if g2.size:
-                    o2 = np.lexsort((g2, d2))
-                    g2s, d2s = g2[o2], d2[o2]
-                    starts = np.flatnonzero(np.concatenate(
-                        [[True], (g2s[1:] != g2s[:-1]) | (d2s[1:] != d2s[:-1])]))
-                    run_len = np.diff(np.append(starts, g2s.size))
-                    mx = np.zeros(n, dtype=np.int64)
-                    np.maximum.at(mx, d2s[starts], run_len)
-                    tot2 = np.bincount(d2, minlength=n)
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        top_bigram = np.where(
-                            tot2 > 0, mx / tot2.astype(np.float64), np.nan)
-            if m >= 3:
-                with np.errstate(over="ignore"):
-                    g3 = ((h[:-2] * _FNV_PRIME) ^ h[1:-1]) * _FNV_PRIME ^ h[2:]
-                v = doc[:-2] == doc[2:]
-                g3, d3 = g3[v], doc[:-2][v]
-                if g3.size:
-                    o3 = np.lexsort((g3, d3))
-                    g3s, d3s = g3[o3], d3[o3]
-                    f3 = np.concatenate(
-                        [[True], (g3s[1:] != g3s[:-1]) | (d3s[1:] != d3s[:-1])])
-                    dst = np.bincount(d3s[f3], minlength=n)
-                    tot3 = np.bincount(d3, minlength=n)
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        dup_trigram = np.where(
-                            tot3 > 0,
-                            1.0 - dst / tot3.astype(np.float64), np.nan)
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "mean_token_len": pa.array(mean_tok, pa.float64(), from_pandas=True),
-            "stopword_ratio": pa.array(stop_ratio, pa.float64(), from_pandas=True),
-            "uniq_token_ratio": pa.array(uniq_ratio, pa.float64(), from_pandas=True),
-            "top_bigram_ratio": pa.array(top_bigram, pa.float64(), from_pandas=True),
-            "dup_trigram_ratio": pa.array(dup_trigram, pa.float64(), from_pandas=True),
-        })
-
-    return ds.map_batches(_quality, batch_format="pyarrow")
+            uniq_ratio = np.where(lens > 0, nuniq / lens, np.nan)
+        if m >= 2:
+            with np.errstate(over="ignore"):
+                g2 = (h[:-1] * _FNV_PRIME) ^ h[1:]
+            v = doc[:-1] == doc[1:]
+            g2, d2 = g2[v], doc[:-1][v]
+            if g2.size:
+                o2 = np.lexsort((g2, d2))
+                g2s, d2s = g2[o2], d2[o2]
+                starts = np.flatnonzero(np.concatenate(
+                    [[True], (g2s[1:] != g2s[:-1]) | (d2s[1:] != d2s[:-1])]))
+                run_len = np.diff(np.append(starts, g2s.size))
+                mx = np.zeros(n, dtype=np.int64)
+                np.maximum.at(mx, d2s[starts], run_len)
+                tot2 = np.bincount(d2, minlength=n)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    top_bigram = np.where(
+                        tot2 > 0, mx / tot2.astype(np.float64), np.nan)
+        if m >= 3:
+            with np.errstate(over="ignore"):
+                g3 = ((h[:-2] * _FNV_PRIME) ^ h[1:-1]) * _FNV_PRIME ^ h[2:]
+            v = doc[:-2] == doc[2:]
+            g3, d3 = g3[v], doc[:-2][v]
+            if g3.size:
+                o3 = np.lexsort((g3, d3))
+                g3s, d3s = g3[o3], d3[o3]
+                f3 = np.concatenate(
+                    [[True], (g3s[1:] != g3s[:-1]) | (d3s[1:] != d3s[:-1])])
+                dst = np.bincount(d3s[f3], minlength=n)
+                tot3 = np.bincount(d3, minlength=n)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dup_trigram = np.where(
+                        tot3 > 0,
+                        1.0 - dst / tot3.astype(np.float64), np.nan)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "mean_token_len": pa.array(mean_tok, pa.float64(), from_pandas=True),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64(), from_pandas=True),
+        "uniq_token_ratio": pa.array(uniq_ratio, pa.float64(), from_pandas=True),
+        "top_bigram_ratio": pa.array(top_bigram, pa.float64(), from_pandas=True),
+        "dup_trigram_ratio": pa.array(dup_trigram, pa.float64(), from_pandas=True),
+    })
 
 
 QUALITY_SQL = """
@@ -223,34 +223,34 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     is non-trivial (≥2 marker hits — the cld2 reliability-flag analog);
     ``is_english`` = predicted 'en'."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
-    def _lid(t: pa.Table) -> pa.Table:
-        # vectorized: one RE2 presence pass per marker word (28 total) —
-        # distinct-hit counts per language, then the same
-        # strictly-greater argmax as the scalar loop (ties → first code)
-        norm = normalize_text_array(t.column("text"))
-        n = t.num_rows
-        best_hits = np.zeros(n, dtype=np.int64)
-        pred = np.full(n, "unk", dtype=object)
-        for code in sorted(_LANG_MARKERS):
-            hits = np.zeros(n, dtype=np.int64)
-            for w in sorted(_LANG_MARKERS[code]):
-                hits += pc.match_substring_regex(
-                    norm, rf"\b{w}\b").to_numpy(zero_copy_only=False)
-            better = hits > best_hits
-            pred[better] = code
-            best_hits = np.where(better, hits, best_hits)
-        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
-        agree = pred == langs
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "pred_lang": pa.array(pred, pa.string()),
-            "agrees_with_declared": pa.array(agree, pa.bool_()),
-            "is_reliable": pa.array(agree & (best_hits >= 2), pa.bool_()),
-            "is_english": pa.array(pred == "en", pa.bool_()),
-        })
 
-    return ds.map_batches(_lid, batch_format="pyarrow")
+def lang_id_batch(t: pa.Table) -> pa.Table:
+    # vectorized: one RE2 presence pass per marker word (28 total) —
+    # distinct-hit counts per language, then the same
+    # strictly-greater argmax as the scalar loop (ties → first code)
+    norm = normalize_text_array(t.column("text"))
+    n = t.num_rows
+    best_hits = np.zeros(n, dtype=np.int64)
+    pred = np.full(n, "unk", dtype=object)
+    for code in sorted(_LANG_MARKERS):
+        hits = np.zeros(n, dtype=np.int64)
+        for w in sorted(_LANG_MARKERS[code]):
+            hits += pc.match_substring_regex(
+                norm, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+        better = hits > best_hits
+        pred[better] = code
+        best_hits = np.where(better, hits, best_hits)
+    langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    agree = pred == langs
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "pred_lang": pa.array(pred, pa.string()),
+        "agrees_with_declared": pa.array(agree, pa.bool_()),
+        "is_reliable": pa.array(agree & (best_hits >= 2), pa.bool_()),
+        "is_english": pa.array(pred == "en", pa.bool_()),
+    })
 
 
 # Bit-exact twin of the stopword heuristic: per-language marker hits over
