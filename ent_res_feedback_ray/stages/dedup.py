@@ -825,3 +825,84 @@ FROM reach GROUP BY node
 
 def neardup_keep_set_sql(threshold: float = 0.5) -> str:
     return NEARDUP_KEEP_SET_SQL.replace("{THRESHOLD}", repr(float(threshold)))
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup: new crawl shard vs a frozen fingerprint store
+# (the resumable-ingest shape — at 100 TB you never re-dedup the whole
+# corpus, you dedup each incoming shard against the accumulated store)
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(new_docs: ray.data.Dataset,
+                            seen_fps: ray.data.Dataset,
+                            num_buckets: int = 32) -> ray.data.Dataset:
+    """Rows of ``new_docs`` that survive exact dedup against BOTH the
+    frozen store and the shard itself.
+
+    ``seen_fps`` is a (fingerprint:string) table — e.g. the fingerprint
+    column of every previously ingested shard, read straight from its
+    parquet checkpoint.  A new doc survives iff its normalized-text md5
+    is absent from the store AND it is the min-doc_id holder of that
+    fingerprint within the shard (the same first-occurrence election as
+    exact_dedup_groups).  Output: (doc_id, fingerprint).
+
+    ONE bucketed cogroup on the fingerprint does both checks: the store
+    side ships (fingerprint) only, the shard side (fingerprint, doc_id) —
+    text never enters the exchange.
+    """
+    from .shuffleops import join_on_key
+
+    def _fp(t: pa.Table) -> pa.Table:
+        norm = normalize_text_array(t.column("text")).to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    keyed = new_docs.map_batches(_fp, batch_format="pyarrow")
+
+    def _first_per_fp(part: pd.DataFrame) -> pd.DataFrame:
+        keep = part["doc_id"] == part.groupby("fingerprint")["doc_id"] \
+            .transform("min")
+        return part.loc[keep, ["doc_id", "fingerprint"]]
+
+    return join_on_key(keyed, seen_fps, "fingerprint", num_buckets,
+                       how="anti", apply_fn=_first_per_fp)
+
+
+def incremental_exact_dedup_split(sf_dir: str, cutoff: int = 250
+                                  ) -> ray.data.Dataset:
+    """Twin-checkable wrapper: docs with doc_id < cutoff are the frozen
+    store, the rest are the incoming shard; returns the shard's survivors."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _old_fps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = t.filter(pc.less(t.column("doc_id"), cutoff))
+        norm = normalize_text_array(sub.column("text")).to_pylist()
+        return pa.table({"fingerprint": pa.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm],
+            pa.string())})
+
+    seen = docs.map_batches(_old_fps, batch_format="pyarrow")
+    new = docs.filter(expr=f"doc_id >= {cutoff}")
+    return incremental_exact_dedup(new, seen)
+
+
+INCREMENTAL_EXACT_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {CUTOFF}),
+shard AS (SELECT * FROM fp WHERE doc_id >= {CUTOFF})
+SELECT doc_id, fingerprint FROM (
+  SELECT s.*, min(doc_id) OVER (PARTITION BY fingerprint) AS first_id
+  FROM shard s ANTI JOIN seen USING (fingerprint)
+) WHERE doc_id = first_id
+""".strip()
+
+
+def incremental_exact_dedup_sql(cutoff: int = 250) -> str:
+    return INCREMENTAL_EXACT_DEDUP_SQL.replace("{CUTOFF}", str(cutoff))

@@ -292,3 +292,39 @@ def test_neardup_keep_set_matches_duckdb_recursive_twin(tmp_path):
     lsh = (neardup_keep_set(str(sf), threshold=0.5, method="minhash")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_series_equal(lsh["is_keeper"], got["is_keeper"])
+
+
+def test_incremental_exact_dedup_matches_duckdb_twin(tmp_path):
+    """New-shard-vs-frozen-store dedup: a shard doc whose fingerprint is in
+    the store drops; within-shard duplicates keep only the min doc_id;
+    bit-exact against the ANTI JOIN + window twin."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.stages.dedup import (
+        incremental_exact_dedup_split, incremental_exact_dedup_sql)
+
+    old_text = "an article already ingested in a previous crawl shard"
+    rows = [{"doc_id": d, "text": f"{old_text} variant {d}"} for d in range(5)]
+    rows += [
+        {"doc_id": 10, "text": old_text + " variant 2"},   # in store → drop
+        {"doc_id": 11, "text": "a genuinely new article about gardens"},
+        {"doc_id": 12, "text": "A Genuinely NEW article about gardens!"},
+        # normalizes equal to 11 → within-shard dup, 11 wins
+        {"doc_id": 13, "text": "another new article about mountains"},
+    ]
+    docs = pd.DataFrame(rows).assign(lang="en", source="t", n_chars=1)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    got = (incremental_exact_dedup_split(str(sf), cutoff=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(incremental_exact_dedup_sql(10)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64}), want.astype({"doc_id": np.int64}))
+    assert got["doc_id"].tolist() == [11, 13]
