@@ -266,3 +266,127 @@ def _cluster_cc(**kw) -> Stage:
         return cc_block_clustering(ds, **kw)
 
     return _s
+
+
+# ---------------------------------------------------------------------------
+# curation stages — config-composable LM-data hygiene (each a thin closure
+# over stages/curation.py + stages/dedup.py; a curation pipeline is a list
+# of these, same registry as the ER stages above)
+# ---------------------------------------------------------------------------
+
+
+@register_stage("lang_gate")
+def _lang_gate(lang: str = "en") -> Stage:
+    """Keep docs whose predicted language is ``lang`` (stopword-argmax
+    LID, textstats.lang_id_batch kernel)."""
+    from ..stages.textstats import lang_id_batch
+
+    def _s(ds, ctx):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            pred = lang_id_batch(t)
+            return t.filter(pc.equal(pred.column("pred_lang"), lang))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return _s
+
+
+@register_stage("quality_gate")
+def _quality_gate() -> Stage:
+    """Keep docs passing the Gopher-rule chain (no violated rule)."""
+    from ..stages.curation import quality_drop_reasons
+    from ..stages.textstats import quality_metrics_batch
+
+    def _s(ds, ctx):
+        def _f(t: pa.Table) -> pa.Table:
+            reasons = quality_drop_reasons(
+                quality_metrics_batch(t).to_pandas())
+            return t.filter(pa.array(reasons == ""))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return _s
+
+
+@register_stage("decontaminate_gate")
+def _decontaminate_gate(n: int = 13, bench_mod: int = 17) -> Stage:
+    """Drop benchmark docs AND docs sharing any word n-gram with them
+    (broadcast searchsorted — no shuffle)."""
+    import ray as _ray
+
+    from ..functions.textnorm import normalize_text_array
+    from ..stages.curation import _bench_ngrams_ref, _collision_counts
+
+    class _Gate:
+        def __init__(self, bench_ref):
+            self.bench = _ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("doc_id").combine_chunks())
+            norm = normalize_text_array(t.column("text")).to_pylist()
+            hit = _collision_counts(self.bench, norm, n) > 0
+            return t.filter(pa.array((ids % bench_mod != 0) & ~hit))
+
+    def _s(ds, ctx):
+        bench_ref = _bench_ngrams_ref(ds, n, bench_mod)
+        return ds.map_batches(_Gate, fn_constructor_args=(bench_ref,),
+                              batch_format="pyarrow", concurrency=(1, 8))
+
+    return _s
+
+
+@register_stage("exact_dedup_gate")
+def _exact_dedup_gate(num_buckets: int = 32) -> Stage:
+    """Keep the min-doc_id holder of each normalized-text fingerprint:
+    light (fingerprint, doc_id) election shuffle, then a semi-join back —
+    text never enters the election exchange."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.textnorm import normalize_text_array
+    from ..stages.shuffleops import bucketed_group_apply, join_on_key
+
+    def _s(ds, ctx):
+        def _fp(t: pa.Table) -> pa.Table:
+            norm = normalize_text_array(t.column("text")).to_pylist()
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "fingerprint": pa.array(
+                    [hashlib.md5(s.encode("utf-8")).hexdigest()
+                     for s in norm], pa.string()),
+            })
+
+        def _first(part: pd.DataFrame) -> pd.DataFrame:
+            keep = part["doc_id"] == part.groupby("fingerprint")["doc_id"] \
+                .transform("min")
+            return part.loc[keep, ["doc_id"]]
+
+        keepers = bucketed_group_apply(
+            ds.map_batches(_fp, batch_format="pyarrow"), "fingerprint",
+            _first, num_buckets)
+        return join_on_key(ds, keepers, "doc_id", num_buckets, how="semi")
+
+    return _s
+
+
+@register_stage("paragraph_dedup")
+def _paragraph_dedup(**kw) -> Stage:
+    from ..stages.dedup import paragraph_dedup
+
+    def _s(ds, ctx):
+        return paragraph_dedup(ds, **kw)
+
+    return _s
+
+
+@register_stage("pii_redact")
+def _pii_redact(text_col: str = "text") -> Stage:
+    from ..stages.curation import redact_pii
+
+    def _s(ds, ctx):
+        return redact_pii(ds, text_col=text_col)
+
+    return _s

@@ -475,7 +475,7 @@ def paragraph_dedup(
 
     return join_on_key(docs.select_columns([id_col, text_col]),
                        drops.union(sentinel), id_col, num_buckets,
-                       apply_fn=_rebuild)
+                       apply_fn=_rebuild, left_cols=[id_col, text_col])
 
 
 def paragraph_dedup_docs(sf_dir: str) -> ray.data.Dataset:
@@ -614,7 +614,7 @@ def span_dedup(
     # drop-list join and the per-doc rebuild share ONE shuffle
     return join_on_key(docs.select_columns([id_col, text_col]),
                        drops.union(sentinel_d), id_col, num_buckets,
-                       apply_fn=_rebuild)
+                       apply_fn=_rebuild, left_cols=[id_col, text_col])
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,7 @@ def join_on_key(
     num_buckets: int = 32,
     how: str = "left",
     apply_fn=None,
+    left_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Bucketed cogroup equi-join of two datasets on ``key`` — ONE shuffle
     of the tagged union, per-bucket C-speed pandas merge.  Doc-level
@@ -164,11 +165,19 @@ def join_on_key(
     right, LEFT columns only (the reference's ``set.intersection`` /
     ``set.difference`` checks as dataflow operators,
     /root/reference/s2and/data.py:1088-1096, /root/reference/s2and/
-    eval.py:174-179)."""
+    eval.py:174-179).
+
+    ``left_cols`` pins the left side's column list explicitly.  Pass it
+    when the left is a projection of a longer pandas-block lineage:
+    Ray's schema inference can misreport a select_columns() schema as the
+    PRE-projection columns once upstream filters have emitted empty
+    (schema-less) blocks, and a phantom column in ``lcols`` would make
+    the tagger raise on every real block."""
     lsch, rsch = left.schema(), right.schema()
-    lcols = list(lsch.names)
+    lcols = list(left_cols) if left_cols is not None else list(lsch.names)
     rcols = [c for c in rsch.names if c != key]
-    l_ph = {c: _placeholder_value(t) for c, t in zip(lsch.names, lsch.types)}
+    l_ph = {c: _placeholder_value(t) for c, t in zip(lsch.names, lsch.types)
+            if c in lcols}
     r_ph = {c: _placeholder_value(t) for c, t in zip(rsch.names, rsch.types)}
     all_cols = lcols + [c for c in rcols if c not in lcols]
 

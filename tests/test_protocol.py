@@ -172,3 +172,50 @@ def test_cli_pipeline_from_json_config(tmp_path, synth_pages):
     assert set(got.columns) == {"doc_id", "cluster_id"}
     assert len(got) > 0
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_config_curation_pipeline_matches_funnel_keepers():
+    """A config-driven curation pipeline (lang → quality → decontaminate →
+    exact-dedup → paragraph-dedup → PII) keeps exactly the docs the
+    curate_corpus funnel keeps, with the same curated text."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    boiler = ("subscribe to the newsletter and follow the weekly updates "
+              "from a team of writers in the field ")
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog "
+                              "in a sunny meadow of wild flowers", "lang": "en"},
+        {"doc_id": 1, "text": "the first article is a long note about rivers "
+                              "and it keeps a steady mix of words in every "
+                              "line\n\n" + boiler, "lang": "en"},
+        {"doc_id": 2, "text": boiler + "\n\nthe second article is a note to "
+                              "a friend at someone@example.org about a trip",
+         "lang": "en"},
+        {"doc_id": 3, "text": "der hund und die katze das haus ist ein tier "
+                              "und der baum", "lang": "de"},
+        {"doc_id": 4, "text": "the and of to a in is " * 6, "lang": "en"},
+        {"doc_id": 5, "text": "the first article is a long note about rivers "
+                              "and it keeps a steady mix of words in every "
+                              "line\n\n" + boiler, "lang": "en"},  # dup of 1
+    ]
+    docs = pd.DataFrame(rows)
+
+    run = build_pipeline([
+        {"stage": "decontaminate_gate", "n": 5, "bench_mod": 7},
+        {"stage": "lang_gate"},
+        {"stage": "quality_gate"},
+        {"stage": "exact_dedup_gate"},
+        {"stage": "paragraph_dedup"},
+        {"stage": "pii_redact"},
+    ])
+    out = run(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 0 drops (benchmark), 3 (lang), 4 (quality), 5 (exact dup of 1)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert boiler.strip() in out.loc[0, "redacted_text"]
+    assert boiler.strip() not in out.loc[1, "redacted_text"]  # para dedup
+    assert "<EMAIL>" in out.loc[1, "redacted_text"]
