@@ -153,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": curation.PII_REDACTION_SQL,
         "decontaminate_13gram": curation.decontaminate_sql(n=13, bench_mod=17),
         "curate_corpus": curation.curate_corpus_sql(),
-        # rows-only (non-SQL-expressible): er_quality, embedding_centroids, …
+        # rows-only (non-SQL-expressible): embedding_centroids, er_hac_clusters, …
+        # (er_quality gained a full twin: recursive-CTE gold + cell-table
+        # metric algebra — see pipelines/er._QUALITY_SQL_TAIL)
     })
     return out

@@ -457,6 +457,210 @@ _CLUSTER_SQL_TAIL = (
     + "\nSELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"
 )
 
+# er_quality twin: the SAME brute-force gold er_quality judges against
+# (connected components of the exact shingle-jaccard ≥ GOLD_JACCARD graph
+# over ALL pairs, _gold_assignments), composed with the blocked pipeline's
+# predicted components and the cell-table metric algebra of
+# eval/metrics._prf_from_cells and _pair_prf_singleton_fix — every quantity
+# is a ratio of exact integers (single IEEE division) or rounded where the
+# Ray side rounds, so the comparison is bit-exact.
+_GOLD_CTES = f"""
+gtok AS (
+  SELECT doc_id, norm_text, string_split(norm_text, ' ') AS tk FROM norm
+),
+gdoc AS MATERIALIZED (
+  -- shingle set ONCE per doc (SHINGLES_SQL inlines string_split per list
+  -- element — per-PAIR evaluation is quadratic in doc length and made the
+  -- all-pairs gold intractable; per-doc it is linear and the pair step is
+  -- a cheap list_intersect)
+  SELECT doc_id,
+    CASE WHEN norm_text = '' THEN []
+         WHEN len(tk) < 3 THEN [norm_text]
+         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+  FROM gtok
+),
+gedges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM gdoc a JOIN gdoc b ON a.doc_id < b.doc_id
+  WHERE {SHINGLE_JACCARD_SQL.format(s1="a.sh", s2="b.sh")} >= {GOLD_JACCARD}
+),
+gsym AS MATERIALIZED (
+  -- materialized: the recursive greach otherwise re-evaluates the inlined
+  -- all-pairs jaccard join on EVERY fixpoint iteration
+  SELECT src, dst FROM gedges UNION ALL SELECT dst, src FROM gedges
+),
+greach AS (
+  SELECT doc_id AS node, doc_id AS label FROM pages
+  UNION
+  SELECT s.dst AS node, g.label AS label
+  FROM greach g JOIN gsym s ON s.src = g.node
+),
+gold AS (
+  SELECT node AS id, min(label) AS gold FROM greach GROUP BY node
+)
+""".strip()
+
+_QUALITY_SQL_TAIL = f"""
+{_CLUSTER_CTES},
+pred AS (
+  SELECT node AS id, min(label) AS pred FROM reach GROUP BY node
+),
+{_GOLD_CTES},
+cells AS (
+  SELECT p.pred, g.gold, count(*) AS n
+  FROM pred p JOIN gold g USING (id) GROUP BY 1, 2
+),
+psz AS (SELECT pred, sum(n) AS ps FROM cells GROUP BY pred),
+gsz AS (SELECT gold, sum(n) AS gs FROM cells GROUP BY gold),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nd FROM cells),
+b3 AS (
+  SELECT sum(CAST(c.n AS DOUBLE) * c.n / p.ps) / (SELECT nd FROM tot) AS bp,
+         sum(CAST(c.n AS DOUBLE) * c.n / g.gs) / (SELECT nd FROM tot) AS br
+  FROM cells c JOIN psz p USING (pred) JOIN gsz g USING (gold)
+),
+tpc AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp FROM cells),
+pcnt AS (SELECT CAST(sum(ps * (ps - 1) // 2) AS BIGINT) AS pred_pairs FROM psz),
+gcnt AS (SELECT CAST(sum(gs * (gs - 1) // 2) AS BIGINT) AS gold_pairs FROM gsz),
+pb AS (
+  SELECT p.id, b.block_key AS block, p.pred, g.gold
+  FROM pred p JOIN blocks b ON b.doc_id = p.id JOIN gold g ON g.id = p.id
+),
+bcells AS (
+  SELECT block, pred, gold, count(*) AS n FROM pb GROUP BY 1, 2, 3
+),
+bpsz AS (SELECT block, pred, sum(n) AS ps FROM bcells GROUP BY 1, 2),
+bgsz AS (SELECT block, gold, sum(n) AS gs FROM bcells GROUP BY 1, 2),
+btp AS (
+  SELECT c.block,
+         sum(c.n * (c.n - 1) // 2)
+         + sum(CASE WHEN p.ps = 1 AND g.gs = 1 THEN 1 ELSE 0 END) AS tp
+  FROM bcells c
+  JOIN bpsz p ON p.block = c.block AND p.pred = c.pred
+  JOIN bgsz g ON g.block = c.block AND g.gold = c.gold
+  GROUP BY c.block
+),
+bsys AS (
+  SELECT block, sum(ps * (ps - 1) // 2)
+         + sum(CASE WHEN ps = 1 THEN 1 ELSE 0 END) AS sp
+  FROM bpsz GROUP BY block
+),
+bgld AS (
+  SELECT block, sum(gs * (gs - 1) // 2)
+         + sum(CASE WHEN gs = 1 THEN 1 ELSE 0 END) AS gp
+  FROM bgsz GROUP BY block
+),
+bprf AS (
+  SELECT t.block, CAST(t.tp AS DOUBLE) / s.sp AS p,
+         CAST(t.tp AS DOUBLE) / g.gp AS r
+  FROM btp t JOIN bsys s USING (block) JOIN bgld g USING (block)
+),
+cm AS (
+  SELECT round(avg(p), 3) AS cp, round(avg(r), 3) AS cr,
+         round(avg(CASE WHEN p + r = 0 THEN 0.0
+                        ELSE 2 * p * r / (p + r) END), 3) AS cf
+  FROM bprf
+)
+SELECT
+  CAST(tp AS DOUBLE) / pred_pairs AS pair_precision,
+  CAST(tp AS DOUBLE) / gold_pairs AS pair_recall,
+  CAST(2 * tp AS DOUBLE) / (pred_pairs + gold_pairs) AS pair_f1,
+  (SELECT cp FROM cm) AS pair_cmacro_precision,
+  (SELECT cr FROM cm) AS pair_cmacro_recall,
+  (SELECT cf FROM cm) AS pair_cmacro_f1,
+  round(bp, 6) AS b3_precision,
+  round(br, 6) AS b3_recall,
+  round(CASE WHEN bp + br = 0 THEN 0.0
+             ELSE 2 * bp * br / (bp + br) END, 6) AS b3_f1
+FROM tpc, pcnt, gcnt, b3
+""".strip()
+
+# er_facet_eval twin: the key-block partition scored as B³ vs the same
+# brute-force gold, broken down by the nine FACET_COLS — per-doc facet
+# values via window functions over (block, name, gold) marginals, then one
+# melted UNION ALL and the cell-table B³ algebra per (facet, value) group.
+# Mirrors facet_eval + eval/metrics.facet_metrics_multi row for row.
+_FACET_SQL_TAIL = f"""
+{_GOLD_CTES},
+fbase AS (
+  SELECT b.doc_id, b.block_key AS pred, g.gold, b.lang,
+         string_split(n.url, '/')[3] AS host,
+         least(len(b.norm_text) // 100, 5) AS len_b,
+         least((CASE WHEN b.norm_text = '' THEN 0
+                ELSE len(string_split(b.norm_text, ' ')) END) // 16, 8)
+           AS tok_b,
+         month(b.warc_ts) AS month_n,
+         string_split(b.norm_text, ' ')[1] AS name
+  FROM blocks b JOIN norm n USING (doc_id) JOIN gold g ON g.id = b.doc_id
+),
+fstat AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY pred) AS bs,
+    count(*) OVER (PARTITION BY pred, name) AS nn,
+    count(*) OVER (PARTITION BY pred, name, gold) AS ng,
+    count(*) OVER (PARTITION BY pred, gold) AS gg,
+    count(*) OVER (PARTITION BY gold) AS cs
+  FROM fbase
+),
+fdoc AS MATERIALIZED (
+  SELECT doc_id, pred, gold, lang, host,
+    CAST(len_b AS VARCHAR) AS len_bucket,
+    CAST(tok_b AS VARCHAR) AS tok_bucket,
+    CAST(month_n AS VARCHAR) AS month,
+    CAST(CAST(floor(log2(greatest(bs, 1))) AS BIGINT) AS VARCHAR)
+      AS block_size_bucket,
+    CAST(CAST(floor(log2(greatest(cs, 1))) AS BIGINT) AS VARCHAR)
+      AS cluster_size_bucket,
+    CAST(CAST(floor(CAST(nn - ng AS DOUBLE) / greatest(bs - 1, 1) * 10
+                    + 0.5) AS BIGINT) AS VARCHAR) AS homonymity_bucket,
+    CAST(CAST(floor(CAST(gg - ng AS DOUBLE) / greatest(bs - 1, 1) * 10
+                    + 0.5) AS BIGINT) AS VARCHAR) AS synonymity_bucket
+  FROM fstat
+),
+mf AS (
+  SELECT doc_id, pred, gold, 'lang' AS facet, lang AS facet_value FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'host', host FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'len_bucket', len_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'tok_bucket', tok_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'month', month FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'block_size_bucket',
+    block_size_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'cluster_size_bucket',
+    cluster_size_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'homonymity_bucket',
+    homonymity_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'synonymity_bucket',
+    synonymity_bucket FROM fdoc
+),
+fcells AS (
+  SELECT facet, facet_value, pred, gold, count(*) AS n
+  FROM mf GROUP BY 1, 2, 3, 4
+),
+fps AS (SELECT facet, facet_value, pred, sum(n) AS ps
+        FROM fcells GROUP BY 1, 2, 3),
+fgs AS (SELECT facet, facet_value, gold, sum(n) AS gs
+        FROM fcells GROUP BY 1, 2, 3),
+fnd AS (SELECT facet, facet_value, CAST(sum(n) AS DOUBLE) AS nd,
+               CAST(sum(n) AS BIGINT) AS ndocs
+        FROM fcells GROUP BY 1, 2),
+fb3 AS (
+  SELECT c.facet, c.facet_value,
+         sum(CAST(c.n AS DOUBLE) * c.n / p.ps) AS sp,
+         sum(CAST(c.n AS DOUBLE) * c.n / g.gs) AS sg
+  FROM fcells c
+  JOIN fps p USING (facet, facet_value, pred)
+  JOIN fgs g USING (facet, facet_value, gold)
+  GROUP BY 1, 2
+)
+SELECT f.facet, f.facet_value, n.ndocs AS n_docs,
+  round(f.sp / n.nd, 6) AS b3_precision,
+  round(f.sg / n.nd, 6) AS b3_recall,
+  round(CASE WHEN f.sp / n.nd + f.sg / n.nd = 0 THEN 0.0
+             ELSE 2 * (f.sp / n.nd) * (f.sg / n.nd)
+                  / (f.sp / n.nd + f.sg / n.nd) END, 6) AS b3_f1
+FROM fb3 f JOIN fnd n USING (facet, facet_value)
+""".strip()
+
 
 def _pair_sample_filter() -> str:
     from ..stages.sampling import pair_sample_sql_filter
@@ -529,6 +733,12 @@ def oracle_queries() -> dict[str, str]:
         "er_time_split": TIME_SPLIT_SQL_TMPL.format(pages=PAGES_CTE),
         "er_b3_blocks_vs_lang": B3_BLOCKS_SQL_TMPL.format(
             pages=PAGES_CTE, norm=_NORM_CTE, blocks=_BLOCKS_CTE),
+        "er_quality": (
+            f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
+            f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_QUALITY_SQL_TAIL}"),
+        "er_facet_eval": (
+            f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
+            f"{_FACET_SQL_TAIL}"),
     }
 
 
@@ -1208,8 +1418,14 @@ def facet_eval(sf_dir: str) -> pd.DataFrame:
         denom = np.maximum(bs - 1, 1)
         part["block_size_bucket"] = np.floor(
             np.log2(bs.clip(lower=1))).astype(np.int64).astype(str)
-        part["homonymity_bucket"] = ((nn - ng) / denom).round(1).astype(str)
-        part["synonymity_bucket"] = ((gg - ng) / denom).round(1).astype(str)
+        # decile label as an INTEGER string via half-up rounding —
+        # floor(x*10 + 0.5) — so the DuckDB twin reproduces the label with
+        # the same IEEE ops (numpy .round(1) is banker's rounding plus
+        # float formatting, neither of which SQL can replay bit-exact)
+        part["homonymity_bucket"] = np.floor(
+            (nn - ng) / denom * 10 + 0.5).astype(np.int64).astype(str)
+        part["synonymity_bucket"] = np.floor(
+            (gg - ng) / denom * 10 + 0.5).astype(np.int64).astype(str)
         return part
 
     full = bucketed_group_apply(joined, "pred", _block_stats).map_batches(

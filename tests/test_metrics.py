@@ -125,10 +125,11 @@ def test_facet_eval_nine_facets(sf_dir):
     for c in ("b3_precision", "b3_recall", "b3_f1"):
         v = out[c].to_numpy(dtype=float)
         assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
-    # homonymity/synonymity buckets are fraction strings in [0, 1]
+    # homonymity/synonymity buckets are integer DECILE labels in [0, 10]
+    # (half-up floor(x*10 + 0.5) — replayable bit-exact by the SQL twin)
     for facet in ("homonymity_bucket", "synonymity_bucket"):
-        vals = out.loc[out["facet"] == facet, "facet_value"].astype(float)
-        assert ((vals >= 0) & (vals <= 1)).all()
+        vals = out.loc[out["facet"] == facet, "facet_value"].astype(int)
+        assert ((vals >= 0) & (vals <= 10)).all()
 
 
 def test_pairwise_cmacro_matches_reference_semantics():
