@@ -662,6 +662,84 @@ FROM fb3 f JOIN fnd n USING (facet, facet_value)
 """.strip()
 
 
+# er_incremental_clusters twin (reference predict_incremental,
+# /root/reference/s2and/model.py:533-741): cut = k-th smallest doc id
+# (k = floor(n·0.8), same float expression as the Ray side), frozen base =
+# min-label CC over the old-old score graph, new mentions assigned to the
+# argmax mean-score frozen cluster when the mean ≥ threshold (ties → min
+# cluster label, mirroring the mergesort + head(1) in incremental_assign),
+# leftovers re-clustered among themselves by min-label CC.  The output is
+# DISCRETE (doc_id, cluster_id) — float summation-order differences between
+# Ray's partial-sum mean and DuckDB's avg() are ~1 ulp while the measured
+# decision margins at sf0.01 are ≥ 3e-4 (argmax gap) and ≥ 0.15 (threshold
+# distance), so the comparison is stable.  The Ray side's constraint gate
+# (_keep_rows) is a no-op here: the default scored_pairs path emits NaN
+# constraints for every sf0.01 pair (verified), and NaN rows are kept.
+_INCR_SQL_TAIL = """
+ids AS (SELECT doc_id FROM pages),
+nk AS (SELECT CAST(floor(count(*) * (1 - 0.2)) AS BIGINT) AS k FROM ids),
+cutv AS (
+  SELECT max(doc_id) AS cut
+  FROM (SELECT doc_id FROM ids ORDER BY doc_id LIMIT (SELECT k FROM nk))
+),
+oedges AS (
+  SELECT id1 AS src, id2 AS dst FROM scored, cutv
+  WHERE score >= 0.5 AND id1 <= cut AND id2 <= cut
+),
+osym AS MATERIALIZED (
+  SELECT src, dst FROM oedges UNION ALL SELECT dst, src FROM oedges
+),
+oreach AS (
+  SELECT doc_id AS node, doc_id AS label FROM ids, cutv WHERE doc_id <= cut
+  UNION
+  SELECT s.dst AS node, r.label AS label
+  FROM oreach r JOIN osym s ON s.src = r.node
+),
+base AS (SELECT node, min(label) AS label FROM oreach GROUP BY node),
+no AS (
+  SELECT CASE WHEN id1 > cut THEN id1 ELSE id2 END AS newid,
+         CASE WHEN id1 > cut THEN id2 ELSE id1 END AS oldid, score
+  FROM scored, cutv
+  WHERE (id1 > cut) <> (id2 > cut)
+),
+mm AS (
+  SELECT n.newid, b.label AS cl, avg(n.score) AS m
+  FROM no n JOIN base b ON b.node = n.oldid GROUP BY 1, 2
+),
+best AS (
+  SELECT newid, cl FROM (
+    SELECT newid, cl, m,
+           row_number() OVER (PARTITION BY newid
+                              ORDER BY m DESC, cl ASC) AS rn
+    FROM mm)
+  WHERE rn = 1 AND m >= 0.5
+),
+lnodes AS (
+  SELECT doc_id AS node FROM ids, cutv
+  WHERE doc_id > cut AND doc_id NOT IN (SELECT newid FROM best)
+),
+ledges AS (
+  SELECT id1 AS src, id2 AS dst FROM scored, cutv
+  WHERE score >= 0.5 AND id1 > cut AND id2 > cut
+    AND id1 IN (SELECT node FROM lnodes)
+    AND id2 IN (SELECT node FROM lnodes)
+),
+lsym AS MATERIALIZED (
+  SELECT src, dst FROM ledges UNION ALL SELECT dst, src FROM ledges
+),
+lreach AS (
+  SELECT node, node AS label FROM lnodes
+  UNION
+  SELECT s.dst AS node, r.label AS label
+  FROM lreach r JOIN lsym s ON s.src = r.node
+),
+lassign AS (SELECT node, min(label) AS label FROM lreach GROUP BY node)
+SELECT node AS doc_id, label AS cluster_id FROM base
+UNION ALL SELECT newid AS doc_id, cl AS cluster_id FROM best
+UNION ALL SELECT node AS doc_id, label AS cluster_id FROM lassign
+""".strip()
+
+
 def _pair_sample_filter() -> str:
     from ..stages.sampling import pair_sample_sql_filter
 
@@ -739,6 +817,9 @@ def oracle_queries() -> dict[str, str]:
         "er_facet_eval": (
             f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
             f"{_FACET_SQL_TAIL}"),
+        "er_incremental_clusters": (
+            f"WITH RECURSIVE {PAGES_CTE},\n{_NORM_CTE},\n{_BLOCKS_CTE},\n"
+            f"{_CAND_CTE},\n{_FEAT_CTE},\n{_SCORE_CTE},\n{_INCR_SQL_TAIL}"),
     }
 
 

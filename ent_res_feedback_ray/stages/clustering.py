@@ -263,6 +263,10 @@ def incremental_assign(
         return pd.DataFrame({"id1": i1[keep], "id2": i2[keep]})
 
     nn = scored_new_pairs.map_batches(_nn_edges, batch_format="pandas").to_pandas()
+    if "id1" not in nn.columns:
+        # all batches emitted zero edges → Ray hands back a column-less
+        # empty frame; leftovers then all become singletons
+        nn = pd.DataFrame({"id1": [], "id2": []})
     from ..state.unionfind import unionfind_labels
 
     n_arr, l_arr = unionfind_labels(
