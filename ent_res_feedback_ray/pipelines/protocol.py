@@ -390,3 +390,25 @@ def _pii_redact(text_col: str = "text") -> Stage:
         return redact_pii(ds, text_col=text_col)
 
     return _s
+
+
+@register_stage("shuffle")
+def _shuffle(id_col: str = "doc_id", seed: int = 17) -> Stage:
+    """Deterministic global shuffle (md5 hash-sort) — the training-data
+    export permutation."""
+    from ..stages.packing import deterministic_shuffle
+
+    def _s(ds, ctx):
+        return deterministic_shuffle(ds, id_col=id_col, seed=seed)
+
+    return _s
+
+
+@register_stage("pack_sequences")
+def _pack_sequences(**kw) -> Stage:
+    from ..stages.packing import pack_sequences
+
+    def _s(ds, ctx):
+        return pack_sequences(ds, **kw)
+
+    return _s

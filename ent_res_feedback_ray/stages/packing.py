@@ -1,0 +1,150 @@
+"""Training-data export primitives: deterministic global shuffle and
+token-budget sequence packing.
+
+At 100 TB the pretraining-export shuffle is a SORT BY HASH — one
+range-partitioned all-to-all exchange the streaming executor pipelines and
+spills — not an in-memory permutation.  Order is a pure function of the
+row key (md5, like every sampler in stages/sampling.py), so any
+partitioning, any cluster size, any retry yields the SAME permutation, and
+DuckDB replays it exactly (``ORDER BY md5_number_lower(key || '|seed')``).
+The reference shuffles positionally with a seeded ``np.random``
+(/root/reference/s2and/sampling.py:13-115) — not reproducible under
+re-partitioning; this is the distributed-deterministic re-expression.
+
+Sequence packing concatenates documents into fixed-token-budget training
+rows (GPT-style pretraining).  Greedy packing is inherently sequential, so
+the corpus is sharded by key hash (the documented partitioning assumption:
+packs never span shards — at 64+ shards the per-shard boundary waste is
+noise) and each shard packs independently in shuffle order: deterministic,
+partition-invariant, resumable per shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# one pack-id namespace per shard: pack_id = shard << 32 | pack_idx
+_SHARD_SHIFT = 32
+
+
+def md5_u64(keys: "list[str]") -> np.ndarray:
+    """Full md5_number_lower (little-endian uint64 of md5 bytes 8:16) per
+    key — DuckDB-identical, collision odds ~n²/2⁶⁴ (vs the samplers'
+    %1e6, too coarse for a total ORDER)."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        out[i] = int.from_bytes(
+            hashlib.md5(k.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 17,
+    keep_hash: bool = False,
+) -> ray.data.Dataset:
+    """Global deterministic shuffle: order rows by
+    ``md5_number_lower(id || '|shuf{seed}')`` with the id as tie-break.
+    One Ray range-partitioned sort; no driver materialization.  SQL twin:
+    ``ORDER BY md5_number_lower(CAST(id AS VARCHAR) || '|shuf{seed}'), id``
+    (parity-tested in tests/test_packing.py)."""
+
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shuffle_hash"] = md5_u64(
+            [f"{v}|shuf{seed}" for v in df[id_col]])
+        return df
+
+    out = ds.map_batches(_hash, batch_format="pandas") \
+        .sort(["shuffle_hash", id_col])
+    if keep_hash:
+        return out
+    drop = [c for c in ds.schema().names]
+    return out.select_columns(drop)
+
+
+def whitespace_token_counts(text: pd.Series) -> np.ndarray:
+    """Whitespace token count per doc (pandas C path; '' → 0) — the same
+    convention as textstats n_tokens."""
+    return text.str.split().str.len().fillna(0).to_numpy(np.int64)
+
+
+def _greedy_pack(n_tokens: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
+    """First-fit-in-order packing: (pack_idx, pack_pos) per doc.  A doc
+    larger than the budget gets its own pack.  O(n) integer loop — runs
+    inside a worker over ONE shard's rows; the sequential dependence is the
+    definition of the operator, the parallelism lives across shards."""
+    pack = np.empty(len(n_tokens), np.int64)
+    pos = np.empty(len(n_tokens), np.int64)
+    cur, running, at = 0, 0, 0
+    for i, n in enumerate(n_tokens):
+        if running > 0 and running + n > budget:
+            cur += 1
+            running, at = 0, 0
+        pack[i] = cur
+        pos[i] = at
+        running += int(n)
+        at += 1
+    return pack, pos
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Pack documents into fixed-token-budget training sequences:
+    (id, shard, pack_id, pack_pos, n_tokens) — ``pack_id`` globally unique
+    (shard << 32 | per-shard pack index), packs filled greedily in
+    deterministic shuffle order within each hash shard.
+
+    Invariants (property-tested): every pack's token total ≤ budget unless
+    it is a single oversized doc; every doc lands in exactly one pack;
+    pack_pos is the doc's 0-based position inside its pack; the output is
+    identical under any input partitioning."""
+    from .shuffleops import bucketed_group_apply
+
+    if n_shards >= (1 << (63 - _SHARD_SHIFT)):
+        raise ValueError(f"n_shards {n_shards} overflows the pack_id namespace")
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64([f"{v}|shuf{seed}" for v in df[id_col]])
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "shard": (h % np.uint64(n_shards)).astype(np.int64),
+            "__h": h,
+            "n_tokens": whitespace_token_counts(df[text_col]),
+        })
+
+    def _pack_shard(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for shard, grp in part.groupby("shard", sort=True):
+            grp = grp.sort_values(["__h", id_col], kind="mergesort")
+            pack, pos = _greedy_pack(grp["n_tokens"].to_numpy(np.int64),
+                                     budget)
+            out.append(pd.DataFrame({
+                id_col: grp[id_col].to_numpy(),
+                "shard": np.int64(shard),
+                "pack_id": (np.int64(shard) << _SHARD_SHIFT) + pack,
+                "pack_pos": pos,
+                "n_tokens": grp["n_tokens"].to_numpy(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "shard": pd.Series([], dtype=np.int64),
+                                 "pack_id": pd.Series([], dtype=np.int64),
+                                 "pack_pos": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    prepped = ds.map_batches(_prep, batch_format="pandas")
+    return bucketed_group_apply(prepped, "shard", _pack_shard,
+                                num_buckets=min(32, n_shards))

@@ -357,3 +357,101 @@ tok AS (
 )
 SELECT token, count(*) AS df FROM tok GROUP BY token
 """.strip()
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 64,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """EXACT corpus heavy hitters with BOUNDED state: every token whose
+    total count exceeds n_tokens/(k+1), with its exact count — the corpus
+    top-token tracker a 100-TB curation pipeline runs to spot boilerplate
+    without materializing the vocabulary (the anti-pattern the token-DF
+    table would be at web scale).
+
+    Two passes, both bounded:
+    1. per-batch Misra–Gries summaries of ≤ k counters (vectorized: exact
+       batch counts via value_counts, then one np.partition decrement —
+       subtracting the (k+1)-th largest batch count preserves the MG
+       guarantee error ≤ batch_tokens/(k+1), and summing summaries keeps
+       total error ≤ n/(k+1), so every global heavy hitter survives with a
+       positive summed estimate);
+    2. candidates (≤ k per batch, deduped by a small bucketed sum) are
+       broadcast as a frozenset and counted EXACTLY in one more stream
+       pass; the integer filter cnt·(k+1) > n makes the output identical
+       to the brute-force oracle (DuckDB HAVING twin, parity-tested).
+
+    Returns a driver DataFrame (token, cnt): ≤ k rows by construction.
+    """
+    import ray as _ray
+
+    from .shuffleops import _broadcast_get, bucketed_aggregate
+
+    def _tokens(df: pd.DataFrame) -> "list[list[str]]":
+        return df[text_col].str.split().to_list()
+
+    def _mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for row in _tokens(df) for t in (row or [])]
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "est": pd.Series([], dtype=np.int64),
+                                 "n_tok": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(toks, dtype=object).value_counts()
+        c = vc.to_numpy(np.int64)
+        if len(c) > k:
+            d = np.partition(c, len(c) - k - 1)[len(c) - k - 1]
+            keep = c - d > 0
+            vc = vc[keep]
+            c = c[keep] - d
+        out = pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                            "est": c.astype(np.int64)})
+        out["n_tok"] = 0
+        if len(out):
+            out.loc[out.index[0], "n_tok"] = n
+        else:
+            out = pd.DataFrame({"token": ["\x00"], "est": [0], "n_tok": [n]})
+        return out
+
+    partials = ds.map_batches(_mg_partial, batch_format="pandas")
+    summed = bucketed_aggregate(partials, "token", est=("est", "sum"),
+                                n_tok=("n_tok", "sum"),
+                                num_buckets=num_buckets).to_pandas()
+    n_total = int(summed["n_tok"].sum())
+    cand = summed.loc[(summed["est"] > 0) & (summed["token"] != "\x00"),
+                      "token"]
+    cand_ref = _ray.put(frozenset(cand))
+
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        cs = _broadcast_get(cand_ref)
+        toks = [t for row in _tokens(df) for t in (row or []) if t in cs]
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    exact = bucketed_aggregate(
+        ds.map_batches(_exact, batch_format="pandas"), "token",
+        cnt=("cnt", "sum"), num_buckets=num_buckets).to_pandas()
+    out = exact[exact["cnt"] * (k + 1) > n_total]
+    return out.sort_values(["cnt", "token"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def heavy_hitters_sql(text_col: str = "text", k: int = 64) -> str:
+    """Brute-force oracle: exact counts over ALL tokens with the identical
+    integer threshold — equals heavy_hitters() output (parity-tested)."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim({text_col}), '\\s+')) AS token
+  FROM documents WHERE trim({text_col}) <> ''
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT token, count(*) AS cnt FROM tok, tot
+GROUP BY token, n HAVING count(*) * ({k} + 1) > n
+ORDER BY cnt DESC, token
+""".strip()

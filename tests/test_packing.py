@@ -1,0 +1,147 @@
+"""Training-data export ops: deterministic shuffle, sequence packing,
+heavy hitters — each pinned against a DuckDB twin or a pure-Python spec."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ent_res_feedback_ray.stages.packing import (
+    _greedy_pack,
+    deterministic_shuffle,
+    md5_u64,
+    pack_sequences,
+)
+from ent_res_feedback_ray.stages.textstats import heavy_hitters, heavy_hitters_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_md5_u64_matches_duckdb():
+    keys = [f"{i}|shuf17" for i in range(50)]
+    ours = md5_u64(keys)
+    theirs = duckdb.sql(
+        "SELECT md5_number_lower(k) FROM (SELECT unnest(?) AS k)",
+        params=[keys]).fetchnumpy()
+    got = next(iter(theirs.values())).astype(np.uint64)
+    assert np.array_equal(ours, got)
+
+
+def test_deterministic_shuffle_matches_duckdb_order():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = deterministic_shuffle(docs, seed=17).to_pandas()
+    ora = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || '|shuf17'),
+                 doc_id
+    """).df()
+    assert out["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert set(out.columns) == {"doc_id", "text"}  # hash dropped
+
+
+def test_deterministic_shuffle_partition_invariant():
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": "x"})
+    a = deterministic_shuffle(ray.data.from_pandas(df), seed=3) \
+        .to_pandas()["doc_id"].tolist()
+    b = deterministic_shuffle(
+        ray.data.from_pandas(df).repartition(13), seed=3) \
+        .to_pandas()["doc_id"].tolist()
+    assert a == b
+    assert a != sorted(a)  # it actually permutes
+
+
+def test_greedy_pack_spec():
+    pack, pos = _greedy_pack(np.array([5, 5, 5, 12, 1, 9, 2]), budget=10)
+    # [5,5] | [5] | [12] oversized alone | [1,9] | [2]
+    assert pack.tolist() == [0, 0, 1, 2, 3, 3, 4]
+    assert pos.tolist() == [0, 1, 0, 0, 0, 1, 0]
+
+
+def test_pack_sequences_invariants():
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * int(k))
+                 for k in rng.integers(1, 40, size=n)],
+    })
+    budget = 64
+    out = pack_sequences(ray.data.from_pandas(df), budget=budget,
+                         n_shards=8, seed=5).to_pandas()
+    # every doc exactly once
+    assert sorted(out["doc_id"]) == list(range(n))
+    g = out.groupby("pack_id")
+    tot = g["n_tokens"].sum()
+    sizes = g.size()
+    # budget respected unless a single oversized doc owns the pack
+    assert ((tot <= budget) | (sizes == 1)).all()
+    # pack_pos is 0..len-1 within each pack
+    assert (g["pack_pos"].max() + 1 == sizes).all()
+    assert (g["pack_pos"].min() == 0).all()
+    # pack_id namespace encodes the shard
+    assert ((out["pack_id"].to_numpy(np.int64) >> 32)
+            == out["shard"].to_numpy(np.int64)).all()
+    # partition invariance
+    out2 = pack_sequences(ray.data.from_pandas(df).repartition(11),
+                          budget=budget, n_shards=8, seed=5).to_pandas()
+    key = ["doc_id", "shard", "pack_id", "pack_pos", "n_tokens"]
+    a = out.sort_values("doc_id")[key].reset_index(drop=True)
+    b = out2.sort_values("doc_id")[key].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_sequences_oversized_doc_is_alone():
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["w " * 200, "w", "w w", "w " * 300, "w", "w"],
+    })
+    out = pack_sequences(ray.data.from_pandas(df), budget=16, n_shards=1,
+                         seed=1).to_pandas()
+    big = out[out["n_tokens"] > 16]
+    assert len(big) == 2
+    sizes = out.groupby("pack_id").size()
+    assert (sizes.loc[big["pack_id"]] == 1).all()
+
+
+def test_heavy_hitters_matches_bruteforce_oracle():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    k = 32
+    out = heavy_hitters(docs, k=k)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ora = con.execute(heavy_hitters_sql(k=k)).df()
+    assert out["token"].tolist() == ora["token"].tolist()
+    assert out["cnt"].tolist() == ora["cnt"].tolist()
+    assert len(out) <= k
+
+
+def test_heavy_hitters_planted_skew():
+    """A token planted above the n/(k+1) threshold is always found with its
+    exact count, regardless of batching."""
+    rows = [{"doc_id": i, "text": "boiler plate " + f"unique{i} tail{i}"}
+            for i in range(500)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(7)
+    out = heavy_hitters(ds, k=8)
+    got = dict(zip(out["token"], out["cnt"]))
+    assert got.get("boiler") == 500
+    assert got.get("plate") == 500
+    assert not any(t.startswith("unique") for t in got)
+
+
+def test_config_pipeline_shuffle_then_pack():
+    """The export tail (shuffle → pack) composes from the Stage registry."""
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    df = pd.DataFrame({"doc_id": np.arange(64, dtype=np.int64),
+                       "text": "a b c d e"})
+    run = build_pipeline([
+        {"stage": "shuffle", "seed": 9},
+        {"stage": "pack_sequences", "budget": 20, "n_shards": 4, "seed": 9},
+    ])
+    out = run(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(64))
+    assert (out.groupby("pack_id")["n_tokens"].sum() <= 20).all()
