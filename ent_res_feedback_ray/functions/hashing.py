@@ -273,3 +273,19 @@ __all__ = [
     "hamming64_batch",
     "rolling_fingerprints",
 ]
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over int64/uint64 keys — zero
+    per-row Python, zero string building.  The 100-TB fast path for
+    hash-ordering (deterministic_shuffle/pack_sequences method="splitmix");
+    NOT SQL-replayable (DuckDB has no splitmix) — the md5 path is the
+    oracle-grade twin-checkable default."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z

@@ -42,22 +42,37 @@ def md5_u64(keys: "list[str]") -> np.ndarray:
     return out
 
 
+def _shuffle_hash(ids: pd.Series, seed: int, method: str) -> np.ndarray:
+    if method == "md5":
+        return md5_u64([f"{v}|shuf{seed}" for v in ids])
+    if method == "splitmix":
+        from ..functions.hashing import splitmix64
+
+        return splitmix64(ids.to_numpy(np.int64), seed=seed)
+    raise ValueError(f"unknown shuffle hash method {method!r}")
+
+
 def deterministic_shuffle(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     seed: int = 17,
     keep_hash: bool = False,
+    method: str = "md5",
 ) -> ray.data.Dataset:
     """Global deterministic shuffle: order rows by
     ``md5_number_lower(id || '|shuf{seed}')`` with the id as tie-break.
     One Ray range-partitioned sort; no driver materialization.  SQL twin:
     ``ORDER BY md5_number_lower(CAST(id AS VARCHAR) || '|shuf{seed}'), id``
-    (parity-tested in tests/test_packing.py)."""
+    (parity-tested in tests/test_packing.py).
+
+    ``method="splitmix"`` swaps the per-row-Python md5 for the vectorized
+    splitmix64 integer mix (functions/hashing.py) — same invariants
+    (deterministic, partition/cluster/retry-invariant permutation), zero
+    per-row Python; the 100-TB path when SQL replayability isn't needed."""
 
     def _hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["shuffle_hash"] = md5_u64(
-            [f"{v}|shuf{seed}" for v in df[id_col]])
+        df["shuffle_hash"] = _shuffle_hash(df[id_col], seed, method)
         return df
 
     out = ds.map_batches(_hash, batch_format="pandas") \
@@ -100,6 +115,7 @@ def pack_sequences(
     text_col: str = "text",
     n_shards: int = 64,
     seed: int = 17,
+    method: str = "md5",
 ) -> ray.data.Dataset:
     """Pack documents into fixed-token-budget training sequences:
     (id, shard, pack_id, pack_pos, n_tokens) — ``pack_id`` globally unique
@@ -116,7 +132,7 @@ def pack_sequences(
         raise ValueError(f"n_shards {n_shards} overflows the pack_id namespace")
 
     def _prep(df: pd.DataFrame) -> pd.DataFrame:
-        h = md5_u64([f"{v}|shuf{seed}" for v in df[id_col]])
+        h = _shuffle_hash(df[id_col], seed, method)
         return pd.DataFrame({
             id_col: df[id_col],
             "shard": (h % np.uint64(n_shards)).astype(np.int64),

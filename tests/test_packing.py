@@ -145,3 +145,20 @@ def test_config_pipeline_shuffle_then_pack():
     out = run(ray.data.from_pandas(df)).to_pandas()
     assert sorted(out["doc_id"]) == list(range(64))
     assert (out.groupby("pack_id")["n_tokens"].sum() <= 20).all()
+
+
+def test_splitmix_shuffle_fast_path():
+    """method='splitmix' (vectorized, no per-row Python) keeps the shuffle
+    invariants: a deterministic, partition-invariant, seed-sensitive
+    permutation."""
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": "x"})
+    a = deterministic_shuffle(ray.data.from_pandas(df), seed=3,
+                              method="splitmix").to_pandas()["doc_id"]
+    b = deterministic_shuffle(ray.data.from_pandas(df).repartition(9),
+                              seed=3, method="splitmix").to_pandas()["doc_id"]
+    c = deterministic_shuffle(ray.data.from_pandas(df), seed=4,
+                              method="splitmix").to_pandas()["doc_id"]
+    assert a.tolist() == b.tolist()
+    assert sorted(a) == list(range(300))
+    assert a.tolist() != c.tolist() != sorted(a)
