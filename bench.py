@@ -132,6 +132,15 @@ def run_curation(sf_dir: str, num_cpus: int) -> dict:
         read_table(sf_dir, "documents", columns=["doc_id", "source"])))
     timed("curate_corpus_e2e", lambda: curation.curate_corpus(sf_dir))
 
+    from ent_res_feedback_ray.stages.packing import (
+        deterministic_shuffle, pack_sequences)
+
+    timed("shuffle_pack_export", lambda: pack_sequences(
+        deterministic_shuffle(
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            method="splitmix"),
+        budget=2048, n_shards=64, method="splitmix"))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "curation_suite_total_sec",
