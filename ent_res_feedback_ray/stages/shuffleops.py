@@ -364,3 +364,46 @@ def attach_attrs(
             tagged_pairs.union(tagged_docs), "__node", _merge, num_buckets)
 
     return _join_side(_join_side(pairs, "1"), "2")
+
+
+def column_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: "list[float]" = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> pd.DataFrame:
+    """EXACT order-statistic quantiles of a column, fully distributed: ONE
+    range-partitioned sort (materialized once), then each quantile is a
+    bounded ``limit(r+1) → Max`` scan — the same shape time_split uses for
+    its cutoff; only |qs| scalars reach the driver.  The 0-based rank is
+    ``floor(q·(n−1))`` — a single double multiply+floor, so the DuckDB twin
+    (``ORDER BY col LIMIT 1 + floor(q*(count(*)-1))`` → max) replays it
+    bit-exactly (parity-tested).  At petabyte scale the limit-scan could be
+    replaced by sorted-block boundary arithmetic; the exchange (the sort)
+    is already the minimal one."""
+    import math
+
+    s = ds.select_columns([col]).sort(col).materialize()
+    n = s.count()
+    if n == 0:
+        return pd.DataFrame({"q": list(qs),
+                             col: [float("nan")] * len(qs)})
+    vals = []
+    for q in qs:
+        r = int(math.floor(q * (n - 1)))
+        vals.append(s.limit(r + 1).max(col))
+    return pd.DataFrame({"q": list(qs), col: vals})
+
+
+def column_quantiles_sql(table: str, col: str,
+                         qs: "list[float]" = (0.25, 0.5, 0.75, 0.95, 0.99)
+                         ) -> str:
+    """Brute-force twin of :func:`column_quantiles` — same rank formula,
+    one scalar subquery per quantile."""
+    parts = [
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"(SELECT max({col}) FROM (SELECT {col} FROM {table} "
+        f"ORDER BY {col} LIMIT 1 + CAST(floor({q} * "
+        f"((SELECT count(*) FROM {table}) - 1)) AS BIGINT))) AS {col}"
+        for q in qs
+    ]
+    return "\nUNION ALL ".join(parts)

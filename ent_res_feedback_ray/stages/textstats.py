@@ -426,11 +426,14 @@ def heavy_hitters(
 
     def _exact(df: pd.DataFrame) -> pd.DataFrame:
         cs = _broadcast_get(cand_ref)
-        toks = [t for row in _tokens(df) for t in (row or []) if t in cs]
+        toks = [t for row in _tokens(df) for t in (row or [])]
         if not toks:
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "cnt": pd.Series([], dtype=np.int64)})
+        # count first (C path), THEN membership-filter the small distinct
+        # index — no per-token Python `in`
         vc = pd.Series(toks, dtype=object).value_counts()
+        vc = vc[vc.index.isin(cs)]
         return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
                              "cnt": vc.to_numpy(np.int64)})
 

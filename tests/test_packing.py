@@ -162,3 +162,30 @@ def test_splitmix_shuffle_fast_path():
     assert a.tolist() == b.tolist()
     assert sorted(a) == list(range(300))
     assert a.tolist() != c.tolist() != sorted(a)
+
+
+def test_column_quantiles_matches_duckdb():
+    from ent_res_feedback_ray.stages.shuffleops import (
+        column_quantiles, column_quantiles_sql)
+
+    docs = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                                 columns=["l_extendedprice"])
+    out = column_quantiles(docs, "l_extendedprice")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    ora = con.execute(
+        column_quantiles_sql("lineitem", "l_extendedprice")).df()
+    a = out.sort_values("q").reset_index(drop=True)
+    b = ora.sort_values("q").reset_index(drop=True)
+    assert np.allclose(a["q"], b["q"])
+    assert a["l_extendedprice"].tolist() == b["l_extendedprice"].tolist()
+
+
+def test_column_quantiles_int_and_extremes():
+    from ent_res_feedback_ray.stages.shuffleops import column_quantiles
+
+    df = pd.DataFrame({"v": np.arange(101, dtype=np.int64)})
+    out = column_quantiles(ray.data.from_pandas(df).repartition(7), "v",
+                           qs=[0.0, 0.5, 1.0])
+    assert out["v"].tolist() == [0, 50, 100]
