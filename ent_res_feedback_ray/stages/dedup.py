@@ -906,3 +906,100 @@ SELECT doc_id, fingerprint FROM (
 
 def incremental_exact_dedup_sql(cutoff: int = 250) -> str:
     return INCREMENTAL_EXACT_DEDUP_SQL.replace("{CUTOFF}", str(cutoff))
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup dedup: new crawl shard vs a frozen LSH band store
+# (the continuous-ingest analog of dedup_minhash_lsh, same shape as
+# incremental_exact_dedup above — the store is a (band_key, doc_id) parquet
+# checkpoint that grows shard by shard; text never enters any exchange)
+# ---------------------------------------------------------------------------
+
+
+def band_store(docs: ray.data.Dataset, num_perm: int = 64,
+               num_bands: int = 16, seed: int = 42) -> ray.data.Dataset:
+    """LSH index of a corpus as a (band_key:int64, doc_id:int64) table —
+    what a continuous-ingest pipeline checkpoints per shard.  Same
+    vectorized minhash/band kernels as dedup_minhash_lsh; the store and
+    every later query MUST share (num_perm, num_bands, seed)."""
+    from .blocking import band_explode_stage, minhash_stage
+    from .normalize import normalize_stage
+
+    norm = normalize_stage(docs)
+    mh = minhash_stage(norm, num_perm=num_perm, seed=seed)
+    return band_explode_stage(mh, num_bands=num_bands,
+                              keep_cols=["doc_id"])
+
+
+def incremental_minhash_dedup(
+    new_docs: ray.data.Dataset,
+    store: ray.data.Dataset,
+    old_docs: "ray.data.Dataset | None" = None,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Rows of ``new_docs`` that are NOT near-duplicates of the frozen
+    corpus behind ``store`` (a :func:`band_store` table).
+
+    Two modes:
+    - ``old_docs=None`` — pure LSH filter: a new doc is dropped on ANY
+      band collision with the store.  Zero text movement; false positives
+      at the LSH curve's rate (the 100-TB default, where re-reading old
+      text per shard is the cost to avoid).
+    - ``old_docs`` given — collision candidates (new_id, old_id) are
+      verified by exact word-3-gram Jaccard (the shared CSR verify
+      kernel); a new doc is dropped only when a verified pair ≥ threshold
+      exists.  False-positive-free; pays one attach of both texts onto
+      the (bounded) candidate pairs.
+
+    Intra-shard near-dups are deliberately out of scope — run
+    dedup_minhash_lsh within the shard first; this operator's contract is
+    the SHARD-vs-STORE check only (single responsibility, mirroring
+    incremental_exact_dedup)."""
+    from .shuffleops import attach_attrs, join_on_key
+
+    new_bands = band_store(new_docs, num_perm=num_perm,
+                           num_bands=num_bands, seed=seed)
+
+    if old_docs is None:
+        collided = join_on_key(new_bands, store.select_columns(["band_key"]),
+                               "band_key", num_buckets, how="semi")
+        # no distinct needed: the anti-join below only asks "has a match"
+        dropped = collided.select_columns(["doc_id"])
+    else:
+        def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+            nb = part[part["__side"] == 0]
+            ob = part[part["__side"] == 1]
+            if not len(nb) or not len(ob):
+                return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                     "id2": pd.Series([], dtype=np.int64)})
+            m = nb.merge(ob, on="band_key", suffixes=("1", "2"))
+            return m[["doc_id1", "doc_id2"]].rename(
+                columns={"doc_id1": "id1", "doc_id2": "id2"}) \
+                .drop_duplicates()
+
+        from .shuffleops import bucketed_group_apply
+
+        tagged = new_bands.map_batches(
+            lambda df: df.assign(__side=np.int64(0)),
+            batch_format="pandas").union(store.map_batches(
+                lambda df: df.assign(__side=np.int64(1)),
+                batch_format="pandas"))
+        cand = bucketed_group_apply(tagged, "band_key", _pairs, num_buckets)
+        from .normalize import normalize_stage
+
+        corpus = normalize_stage(new_docs).union(normalize_stage(old_docs)) \
+            .select_columns(["doc_id", "norm_text"])
+        wide = attach_attrs(cand, corpus, id_col="doc_id",
+                            attr_cols=["norm_text"])
+        verified = wide.map_batches(
+            lambda b: _jaccard_verify_batch(b, threshold),
+            batch_format="pyarrow")
+        dropped = verified.select_columns(["id1"]).map_batches(
+            lambda t: t.rename_columns(["doc_id"]),
+            batch_format="pyarrow")
+
+    return join_on_key(new_docs, dropped, "doc_id", num_buckets, how="anti")

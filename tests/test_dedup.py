@@ -328,3 +328,94 @@ def test_incremental_exact_dedup_matches_duckdb_twin(tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"doc_id": np.int64}), want.astype({"doc_id": np.int64}))
     assert got["doc_id"].tolist() == [11, 13]
+
+
+def test_incremental_minhash_dedup_lsh_filter():
+    """New shard vs frozen band store, LSH-only mode: exact and near copies
+    of stored docs are dropped; fresh docs survive."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import (
+        band_store, incremental_minhash_dedup)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "miller grinds wheat beside the old stone bridge at dawn")
+    old = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"{base} variant {i} " + " ".join(
+            f"tok{i}{j}" for j in range(20)) for i in range(10)],
+    })
+    new = pd.DataFrame({
+        "doc_id": np.arange(100, 106, dtype=np.int64),
+        "text": [
+            old.loc[3, "text"],                       # exact copy → drop
+            old.loc[4, "text"] + " tail",             # near copy → drop
+            "completely different content about rivers and mountains "
+            + " ".join(f"u{j}" for j in range(30)),   # fresh → keep
+            "another unrelated note on cooking and music "
+            + " ".join(f"v{j}" for j in range(30)),   # fresh → keep
+            old.loc[7, "text"].replace("variant", "edition"),  # near → drop
+            "third novel doc " + " ".join(f"w{j}" for j in range(40)),
+        ],
+    })
+    store = band_store(ray.data.from_pandas(old))
+    out = incremental_minhash_dedup(
+        ray.data.from_pandas(new), store).to_pandas()
+    kept = set(out["doc_id"])
+    assert 100 not in kept and 101 not in kept and 104 not in kept
+    assert {102, 103, 105} <= kept
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_incremental_minhash_dedup_verified_matches_bruteforce():
+    """Verified mode equals the brute-force jaccard-vs-store decision on a
+    high-similarity fixture (LSH recall 1 there), and is a SUPERSET of
+    brute-force survivors in general (LSH can only miss candidates)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import (
+        band_store, incremental_minhash_dedup)
+    from ent_res_feedback_ray.stages.fastfeatures import (
+        batch_pair_shingle_jaccard)
+    from ent_res_feedback_ray.functions.textnorm import normalize_text
+
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i}" for i in range(50)]
+    old = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(20)],
+    })
+    new_rows = []
+    for i in range(12):
+        if i % 3 == 0:  # near copy of an old doc
+            t = old.loc[i, "text"] + " extra"
+        else:
+            t = " ".join(rng.choice(vocab, size=30))
+        new_rows.append({"doc_id": 1000 + i, "text": t})
+    new = pd.DataFrame(new_rows)
+
+    thr = 0.5
+    # brute-force decision
+    drops = set()
+    for _, nr in new.iterrows():
+        for _, orow in old.iterrows():
+            j = batch_pair_shingle_jaccard(
+                [normalize_text(nr["text"])], [normalize_text(orow["text"])])[0]
+            if not np.isnan(j) and j >= thr:
+                drops.add(nr["doc_id"])
+                break
+    expected = set(new["doc_id"]) - drops
+
+    store = band_store(ray.data.from_pandas(old))
+    out = incremental_minhash_dedup(
+        ray.data.from_pandas(new), store,
+        old_docs=ray.data.from_pandas(old), threshold=thr).to_pandas()
+    got = set(out["doc_id"])
+    assert expected <= got            # LSH misses only ADD survivors
+    planted = {1000 + i for i in range(12) if i % 3 == 0}
+    assert not (planted & got)        # high-sim plants always verified+dropped
+    assert got - expected == set()    # verify kills every LSH false positive
