@@ -458,3 +458,72 @@ SELECT token, count(*) AS cnt FROM tok, tot
 GROUP BY token, n HAVING count(*) * ({k} + 1) > n
 ORDER BY cnt DESC, token
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count — bounded-state cardinality
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers → σ ≈ 1.04/√4096 ≈ 1.6% relative error
+
+
+def _hll_partial(values, p: int = _HLL_P) -> pd.DataFrame:
+    """Sparse HLL registers for one batch of values: (idx, rank) rows for
+    the registers this batch touches (≤ 2^p rows).  Fully vectorized —
+    fnv1a64 hashes the values columnar, the rank is a log2 bit trick."""
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    # FNV-1a is byte-sequential, not avalanche — its HIGH bits are biased
+    # for short strings (observed: short int-strings touched ~7% of the
+    # registers); the splitmix64 finalizer restores uniform high bits
+    h = splitmix64(fnv1a64(values))
+    if len(h) == 0:
+        return pd.DataFrame({"idx": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+    # rank = leading zeros of `rest` + 1 ∈ [1, 64-p+1]
+    lz = np.uint64(63) - np.floor(np.log2(rest.astype(np.float64) + 1.0) - 1e-12).astype(np.uint64)
+    rank = (lz + np.uint64(1)).astype(np.int64)
+    df = pd.DataFrame({"idx": idx, "rank": rank})
+    return df.groupby("idx", as_index=False).agg(rank=("rank", "max"))
+
+
+def _hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; registers is the dense 2^p array (zeros included)."""
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str,
+                    tokenize: bool = False, p: int = _HLL_P) -> float:
+    """Approximate number of distinct values (or whitespace tokens when
+    ``tokenize``) in ``col`` — the bounded-state cardinality pass a 100-TB
+    pipeline runs instead of count(distinct) (which is a vocabulary-sized
+    shuffle).  Per-batch sparse registers (≤ 2^p rows each) → one small
+    bucketed max → a 2^p-row driver pull → estimate.  Deterministic AND
+    partition-invariant: register merge is an order-free elementwise max,
+    so any batching yields the identical estimate (pinned in tests;
+    relative error vs exact ≈ 1.04/√2^p ≈ 1.6% at the default p=12)."""
+    from .shuffleops import bucketed_aggregate
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if tokenize:
+            vals = [t for row in df[col].str.split().to_list()
+                    for t in (row or [])]
+        else:
+            vals = df[col].astype(str).to_list()
+        return _hll_partial(vals, p)
+
+    sparse = bucketed_aggregate(
+        ds.map_batches(_partial, batch_format="pandas"), "idx",
+        rank=("rank", "max"), num_buckets=4).to_pandas()
+    regs = np.zeros(1 << p, dtype=np.int64)
+    regs[sparse["idx"].to_numpy(np.int64)] = sparse["rank"].to_numpy(np.int64)
+    return _hll_estimate(regs)

@@ -189,3 +189,25 @@ def test_column_quantiles_int_and_extremes():
     out = column_quantiles(ray.data.from_pandas(df).repartition(7), "v",
                            qs=[0.0, 0.5, 1.0])
     assert out["v"].tolist() == [0, 50, 100]
+
+
+def test_approx_distinct_error_and_invariance():
+    from ent_res_feedback_ray.stages.textstats import approx_distinct
+
+    df = pd.DataFrame({"v": (np.arange(30000, dtype=np.int64) % 7919)})
+    a = approx_distinct(ray.data.from_pandas(df), "v")
+    b = approx_distinct(ray.data.from_pandas(df).repartition(17), "v")
+    assert a == b                      # register max is order-free
+    assert abs(a - 7919) / 7919 < 0.05
+
+    # token mode vs exact DuckDB count(distinct)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    est = approx_distinct(docs, "text", tokenize=True)
+    exact = duckdb.sql(f"""
+        SELECT count(DISTINCT token) FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM read_parquet('{SF}/documents.parquet')
+          WHERE trim(text) <> '')
+    """).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
