@@ -407,3 +407,40 @@ def column_quantiles_sql(table: str, col: str,
         for q in qs
     ]
     return "\nUNION ALL ".join(parts)
+
+
+def group_topk(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    k: int = 5,
+    descending: bool = True,
+    tie_cols: "list[str] | None" = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Top-k rows per key group (e.g. the k highest-quality docs per host):
+    ONE bucketed shuffle, C-speed sort_values + groupby.head inside each
+    bucket.  Ties broken by ``tie_cols`` (ascending) so the result is
+    deterministic and a DuckDB ``row_number() OVER (PARTITION BY ...)``
+    twin replays it exactly (parity-tested).  At scale, add a map-side
+    pre-prune (per-batch head-k per key) before the shuffle when groups
+    span many batches — k rows per (key, batch) is the upper bound either
+    way."""
+    tie_cols = tie_cols or []
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side prune: only k candidates per key per batch enter the
+        # exchange
+        s = df.sort_values([key, order_col, *tie_cols],
+                           ascending=[True, not descending]
+                           + [True] * len(tie_cols), kind="mergesort")
+        return s.groupby(key, as_index=False, sort=False).head(k)
+
+    def _bucket(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.sort_values([key, order_col, *tie_cols],
+                             ascending=[True, not descending]
+                             + [True] * len(tie_cols), kind="mergesort")
+        return s.groupby(key, as_index=False, sort=False).head(k)
+
+    pruned = ds.map_batches(_pre, batch_format="pandas")
+    return bucketed_group_apply(pruned, key, _bucket, num_buckets)

@@ -211,3 +211,25 @@ def test_approx_distinct_error_and_invariance():
           WHERE trim(text) <> '')
     """).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_group_topk_matches_duckdb_row_number():
+    from ent_res_feedback_ray.stages.shuffleops import group_topk
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice",
+                                        "l_linenumber"])
+    out = group_topk(li.repartition(9), "l_orderkey", "l_extendedprice",
+                     k=2, tie_cols=["l_linenumber"]).to_pandas()
+    ora = duckdb.sql(f"""
+        SELECT l_orderkey, l_extendedprice, l_linenumber FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+          FROM read_parquet('{SF}/lineitem.parquet'))
+        WHERE rn <= 2
+    """).df()
+    cols = ["l_orderkey", "l_extendedprice", "l_linenumber"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
