@@ -164,3 +164,71 @@ def pack_sequences(
     prepped = ds.map_batches(_prep, batch_format="pandas")
     return bucketed_group_apply(prepped, "shard", _pack_shard,
                                 num_buckets=min(32, n_shards))
+
+
+def export_packed_corpus(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: int = 17,
+    method: str = "md5",
+) -> dict:
+    """Shard-resumable packed-corpus export: shuffle-order pack assignments
+    joined back onto the text, written as ONE hive-partitioned parquet pass
+    over only the shards whose ``shard=<s>/_SUCCESS`` marker is missing —
+    a failed or killed run re-runs only its unfinished shards (the brief's
+    "resumable output" requirement, as an operator).
+
+    Returns {"n_shards", "written", "resumed"}.  Output rows:
+    (doc_id, shard, pack_id, pack_pos, n_tokens, text) under
+    ``out_dir/shard=<s>/``; readers stream packs with
+    ``read_parquet(out_dir)`` ordered by (pack_id, pack_pos)."""
+    import os
+    import shutil
+
+    import ray as _ray
+
+    from ..state.checkpoint import is_complete, mark_success
+    from .shuffleops import join_on_key
+
+    def _sdir(s: int) -> str:
+        return os.path.join(out_dir, f"shard={s}")
+
+    missing = [s for s in range(n_shards) if not is_complete(_sdir(s))]
+    if not missing:
+        return {"n_shards": n_shards, "written": 0, "resumed": n_shards}
+
+    packed = pack_sequences(docs, budget=budget, id_col=id_col,
+                            text_col=text_col, n_shards=n_shards,
+                            seed=seed, method=method)
+    wide = join_on_key(packed,
+                       docs.select_columns([id_col, text_col]), id_col)
+    miss_ref = _ray.put(frozenset(missing))
+
+    def _only_missing(df: pd.DataFrame) -> pd.DataFrame:
+        from .shuffleops import _broadcast_get
+
+        ms = _broadcast_get(miss_ref)
+        return df[df["shard"].isin(ms)]
+
+    sub = wide.map_batches(_only_missing, batch_format="pandas")
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    sub.write_parquet(tmp, partition_cols=["shard"])
+    os.makedirs(out_dir, exist_ok=True)
+    for s in missing:
+        src, dst = os.path.join(tmp, f"shard={s}"), _sdir(s)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)  # empty shard is still DONE
+        mark_success(dst, {"shard": s, "budget": budget, "seed": seed})
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"n_shards": n_shards, "written": len(missing),
+            "resumed": n_shards - len(missing)}

@@ -233,3 +233,46 @@ def test_group_topk_matches_duckdb_row_number():
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = ora[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_export_packed_corpus_resumes_per_shard(tmp_path):
+    import os
+
+    from ent_res_feedback_ray.stages.packing import export_packed_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "text": ["tok " * (i % 9 + 1) for i in range(120)],
+    })
+    out = str(tmp_path / "export")
+    r1 = export_packed_corpus(ray.data.from_pandas(df), out, budget=32,
+                              n_shards=6, seed=2)
+    assert r1 == {"n_shards": 6, "written": 6, "resumed": 0}
+    full = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    assert sorted(full["doc_id"]) == list(range(120))
+    assert (full.groupby("pack_id")["n_tokens"].sum() <= 32).all()
+    assert "text" in full.columns
+
+    # no-op resume: everything marked done
+    r2 = export_packed_corpus(ray.data.from_pandas(df), out, budget=32,
+                              n_shards=6, seed=2)
+    assert r2 == {"n_shards": 6, "written": 0, "resumed": 6}
+
+    # kill two shards → only those are rewritten, bytes elsewhere untouched
+    import shutil
+
+    mtimes = {s: os.path.getmtime(os.path.join(out, f"shard={s}", "_SUCCESS"))
+              for s in range(6)}
+    for s in (1, 4):
+        shutil.rmtree(os.path.join(out, f"shard={s}"))
+    r3 = export_packed_corpus(ray.data.from_pandas(df), out, budget=32,
+                              n_shards=6, seed=2)
+    assert r3 == {"n_shards": 6, "written": 2, "resumed": 4}
+    for s in (0, 2, 3, 5):
+        assert os.path.getmtime(
+            os.path.join(out, f"shard={s}", "_SUCCESS")) == mtimes[s]
+    again = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    key = ["doc_id", "pack_id", "pack_pos", "n_tokens"]
+    a = full.sort_values("doc_id")[key].reset_index(drop=True)
+    b = again.sort_values("doc_id")[key].reset_index(drop=True)
+    assert a.equals(b)
