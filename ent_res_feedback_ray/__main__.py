@@ -133,6 +133,20 @@ def cmd_feedback(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from .stages.packing import export_packed_corpus
+
+    docs = ray.data.read_parquet(args.pages, file_extensions=["parquet"])
+    res = export_packed_corpus(docs, args.out, budget=args.budget,
+                               n_shards=args.shards, seed=args.seed,
+                               method=args.hash)
+    print(json.dumps(res))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ent_res_feedback_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -165,9 +179,18 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--k-per-round", type=int, default=100)
     f.add_argument("--constraints-per-round", type=int, default=0)
 
+    e = sub.add_parser("export")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--budget", type=int, default=2048)
+    e.add_argument("--shards", type=int, default=16)
+    e.add_argument("--seed", type=int, default=17)
+    e.add_argument("--hash", choices=["md5", "splitmix"], default="splitmix")
+
     args = p.parse_args(argv)
     return {"list": cmd_list, "query": cmd_query, "resolve": cmd_resolve,
-            "pipeline": cmd_pipeline, "feedback": cmd_feedback}[args.cmd](args)
+            "pipeline": cmd_pipeline, "feedback": cmd_feedback,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":
