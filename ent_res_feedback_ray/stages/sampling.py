@@ -169,3 +169,87 @@ FROM {table} d JOIN c USING ({source_col}) CROSS JOIN t
 WHERE md5_number_lower(CAST(d.{id_col} AS VARCHAR) || '|mix{seed}')
       % {_MOD} * c.cnt < t.tgt * {_MOD}
 """.strip()
+
+
+def source_mixture_sample(ds: ray.data.Dataset, weights: "dict[str, float]",
+                          source_col: str = "source",
+                          id_col: str = "doc_id", seed: int = 17
+                          ) -> ray.data.Dataset:
+    """Deterministic data-mixing sampler: downsample each source so the
+    KEPT corpus follows ``weights`` (relative mixture proportions, e.g.
+    {"web": 5, "books": 2, "code": 1}) — the generalization the
+    source_balanced docstring promises, as a real operator.
+
+    The binding source is the one whose full count, scaled by 1/weight, is
+    smallest: it is kept whole and every other source s keeps
+    ``target_s = floor(cnt_bind · w_s / w_bind)`` docs in expectation.
+    Membership is the module's integer-exact md5 test (keep iff
+    ``h % MOD · cnt_s < target_s · MOD``) — partition-invariant and
+    replayable in SQL (:func:`source_mixture_sample_sql`).  Sources absent
+    from ``weights`` are dropped entirely.  Two passes like
+    source_balanced_sample: tiny per-source count groupby, then a
+    stateless filter."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive numbers")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(source_col, as_index=False).agg(n=(id_col, "size"))
+
+    counts = (ds.map_batches(_partial, batch_format="pandas")
+              .groupby(source_col).sum("n"))
+    cdf = counts.to_pandas()  # bounded: one row per distinct source
+    if len(cdf) > SOURCE_CARD_CAP:
+        raise ValueError(
+            f"{len(cdf)} distinct values in {source_col!r} (cap "
+            f"{SOURCE_CARD_CAP}) — is this really a source column?")
+    ncol = "sum(n)" if "sum(n)" in cdf.columns else "n"
+    cnt = {s: int(n) for s, n in zip(cdf[source_col], cdf[ncol])
+           if s in weights}
+    if not cnt:
+        return ds.limit(0)
+    # tie-break by source name — the SQL twin's ORDER BY cnt/wt, src
+    bind = min(cnt, key=lambda s: (cnt[s] / weights[s], s))
+    tgt = {s: int(cnt[bind] * weights[s] / weights[bind]) for s in cnt}
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{v}|mix{seed}" for v in df[id_col]]
+        h = md5_mod(keys)
+        cs = df[source_col].map(cnt).to_numpy(dtype=np.float64)
+        ts = df[source_col].map(tgt).to_numpy(dtype=np.float64)
+        known = ~np.isnan(cs)
+        cs_i = np.nan_to_num(cs).astype(np.int64)
+        ts_i = np.nan_to_num(ts).astype(np.int64)
+        return df[known & (h * cs_i < ts_i * _MOD)]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
+def source_mixture_sample_sql(weights: "dict[str, float]",
+                              source_col: str = "source",
+                              id_col: str = "doc_id", seed: int = 17,
+                              table: str = "documents") -> str:
+    """Exact DuckDB twin of :func:`source_mixture_sample`: same binding-
+    source selection (min cnt/weight), same integer-exact keep test."""
+    wrows = ", ".join(f"('{s}', CAST({w} AS DOUBLE))"
+                      for s, w in weights.items())
+    return f"""
+WITH w(src, wt) AS (VALUES {wrows}),
+c AS (
+  SELECT {source_col} AS src, count(*) AS cnt
+  FROM {table} GROUP BY {source_col}
+),
+cw AS (SELECT src, cnt, wt FROM c JOIN w USING (src)),
+b AS (
+  SELECT cnt AS bcnt, wt AS bwt FROM cw
+  ORDER BY cnt / wt, src LIMIT 1
+),
+t AS (
+  SELECT src, cnt,
+         CAST(trunc(b.bcnt * cw.wt / b.bwt) AS BIGINT) AS tgt
+  FROM cw, b
+)
+SELECT d.*
+FROM {table} d JOIN t ON d.{source_col} = t.src
+WHERE md5_number_lower(CAST(d.{id_col} AS VARCHAR) || '|mix{seed}')
+      % {_MOD} * t.cnt < t.tgt * {_MOD}
+""".strip()

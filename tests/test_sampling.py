@@ -203,3 +203,50 @@ def test_source_balanced_sample_cardinality_cap():
             sampling.source_balanced_sample(ray.data.from_pandas(df))
     finally:
         sampling.SOURCE_CARD_CAP = old
+
+
+def test_source_mixture_sample_matches_duckdb_twin():
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from ent_res_feedback_ray.stages.sampling import (
+        source_mixture_sample, source_mixture_sample_sql)
+
+    sf = "/root/testdata/sf0.001"
+    weights = {"web": 5, "news": 2, "wiki": 1}
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    srcs = set(docs.select_columns(["source"]).to_pandas()["source"])
+    usable = {s: w for s, w in weights.items() if s in srcs}
+    if len(usable) < 2:  # fixture guard: need ≥2 named sources
+        usable = {s: w for s, w in zip(sorted(srcs), (5, 2, 1))}
+    out = source_mixture_sample(docs, usable).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(source_mixture_sample_sql(usable)).df()
+    a = sorted(out["doc_id"])
+    b = sorted(ora["doc_id"])
+    assert a == b and len(a) > 0
+    # kept proportions track the weights (loose: small-sample noise)
+    got = out.groupby("source").size()
+    ws = np.array([usable[s] for s in got.index], dtype=float)
+    ratios = got.to_numpy() / ws
+    assert ratios.max() / max(ratios.min(), 1) < 2.5
+
+
+def test_source_mixture_sample_drops_unlisted_sources():
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.sampling import source_mixture_sample
+
+    df = pd.DataFrame({
+        "doc_id": range(300),
+        "source": ["a"] * 100 + ["b"] * 100 + ["junk"] * 100,
+    })
+    out = source_mixture_sample(ray.data.from_pandas(df),
+                                {"a": 1, "b": 1}).to_pandas()
+    assert set(out["source"]) <= {"a", "b"}
+    assert len(out[out["source"] == "a"]) == 100  # binding source kept whole
