@@ -296,3 +296,62 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     return local.groupby("query_id").map_groups(global_topk,
                                                 batch_format="pandas")
+
+
+def hashed_tfidf_vectors(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    sublinear: bool = True,
+) -> ray.data.Dataset:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009 "feature
+    hashing"; public method): token → bucket ``splitmix64(fnv1a64(tok)) %
+    dim`` with a ± sign bit, sublinear tf (1 + log tf), L2-normalized.
+    Model-free and deterministic — the bridge from raw text to the
+    embedding operators: output rows are (vec_id, embedding list<double>),
+    the same schema the ann_topk / embedding-dedup kernels consume, so
+    `hashed_tfidf_vectors(docs) → cosine top-k` is a complete text
+    near-dup/similarity pipeline with no external model.  Fully vectorized
+    (one np.add.at scatter per batch); partition-invariant (pinned)."""
+    import pyarrow as pa
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.textnorm import normalize_text_array
+
+    def _vec(t: "pa.Table") -> "pa.Table":
+        from itertools import chain
+
+        norm = normalize_text_array(t.column(text_col)).to_pylist()
+        tok_lists = [s.split() for s in norm]
+        n = len(tok_lists)
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+        mat = np.zeros((n, dim), np.float64)
+        m = int(lens.sum())
+        if m:
+            h = splitmix64(fnv1a64(list(chain.from_iterable(tok_lists))))
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = 1.0 - 2.0 * ((h >> np.uint64(63)) & np.uint64(1)).astype(np.float64)
+            if sublinear:
+                # tf per (doc, bucket, sign triple is already folded): count
+                # then 1+log — collapse identical (doc, signed-bucket) first
+                key = doc * (2 * dim) + bucket * 2 \
+                    + ((h >> np.uint64(63)) & np.uint64(1)).astype(np.int64)
+                uk, cnts = np.unique(key, return_counts=True)
+                tf = 1.0 + np.log(cnts.astype(np.float64))
+                udoc = uk // (2 * dim)
+                ubucket = (uk % (2 * dim)) // 2
+                usign = 1.0 - 2.0 * (uk % 2).astype(np.float64)
+                np.add.at(mat, (udoc, ubucket), usign * tf)
+            else:
+                np.add.at(mat, (doc, bucket), sign)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.where(nrm > 0, mat / np.maximum(nrm, 1e-300), 0.0)
+        return pa.table({
+            "vec_id": t.column(id_col),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), dim),
+        })
+
+    return ds.map_batches(_vec, batch_format="pyarrow")

@@ -276,3 +276,35 @@ def test_export_packed_corpus_resumes_per_shard(tmp_path):
     a = full.sort_values("doc_id")[key].reset_index(drop=True)
     b = again.sort_values("doc_id")[key].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hashed_tfidf_vectors_similarity_pipeline():
+    """Text → hashing-trick vectors → cosine: identical docs hit 1.0, a
+    near-dup outranks unrelated docs, vectors are partition-invariant."""
+    from ent_res_feedback_ray.stages.similarity import hashed_tfidf_vectors
+
+    base = ("the miller grinds wheat beside the old stone bridge at dawn "
+            "while carts roll past the frozen river toward the market")
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            base,
+            base,                                   # identical → cos 1
+            base + " and a single extra clause",    # near dup
+            "unrelated text about volcanic rock formation and tides "
+            "observed across the southern archipelago in winter storms",
+        ],
+    })
+    vecs = hashed_tfidf_vectors(ray.data.from_pandas(df), dim=128) \
+        .to_pandas().sort_values("vec_id")
+    M = np.stack(vecs["embedding"].to_numpy())
+    cos = M @ M.T
+    assert cos[0, 1] == pytest.approx(1.0)
+    assert cos[0, 2] > 0.9 > cos[0, 3]
+    assert np.allclose(np.linalg.norm(M, axis=1), 1.0)
+
+    vecs2 = hashed_tfidf_vectors(
+        ray.data.from_pandas(df).repartition(3), dim=128) \
+        .to_pandas().sort_values("vec_id")
+    M2 = np.stack(vecs2["embedding"].to_numpy())
+    assert np.array_equal(M, M2)
