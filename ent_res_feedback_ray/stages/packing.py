@@ -91,9 +91,11 @@ def whitespace_token_counts(text: pd.Series) -> np.ndarray:
 
 def _greedy_pack(n_tokens: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
     """First-fit-in-order packing: (pack_idx, pack_pos) per doc.  A doc
-    larger than the budget gets its own pack.  O(n) integer loop — runs
-    inside a worker over ONE shard's rows; the sequential dependence is the
-    definition of the operator, the parallelism lives across shards."""
+    larger than the budget gets its own pack (zero-token docs consume no
+    budget and may share it — hypothesis-pinned).  O(n) integer loop —
+    runs inside a worker over ONE shard's rows; the sequential dependence
+    is the definition of the operator, the parallelism lives across
+    shards."""
     pack = np.empty(len(n_tokens), np.int64)
     pos = np.empty(len(n_tokens), np.int64)
     cur, running, at = 0, 0, 0

@@ -308,3 +308,69 @@ def test_hashed_tfidf_vectors_similarity_pipeline():
         .to_pandas().sort_values("vec_id")
     M2 = np.stack(vecs2["embedding"].to_numpy())
     assert np.array_equal(M, M2)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property pins for the new kernels
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+       st.integers(min_value=1, max_value=40))
+def test_greedy_pack_properties(tokens, budget):
+    pack, pos = _greedy_pack(np.asarray(tokens, dtype=np.int64), budget)
+    if not tokens:
+        assert len(pack) == 0
+        return
+    # pack ids start at 0 and advance by at most 1, in order
+    assert pack[0] == 0
+    assert ((np.diff(pack) == 0) | (np.diff(pack) == 1)).all()
+    # positions restart at 0 on every new pack and are contiguous
+    expect_pos = 0
+    for i in range(len(tokens)):
+        if i and pack[i] != pack[i - 1]:
+            expect_pos = 0
+        assert pos[i] == expect_pos
+        expect_pos += 1
+    # each pack: total ≤ budget OR exactly one NON-EMPTY doc (zero-token
+    # docs consume no budget, so they legitimately share an oversized pack)
+    tot = {}
+    nonempty = {}
+    for p, t in zip(pack.tolist(), tokens):
+        tot[p] = tot.get(p, 0) + t
+        nonempty[p] = nonempty.get(p, 0) + (t > 0)
+    for p in tot:
+        assert tot[p] <= budget or nonempty[p] == 1
+    # greedy is maximal: a new pack opens only because the doc didn't fit
+    for i in range(1, len(tokens)):
+        if pack[i] != pack[i - 1]:
+            assert tot[pack[i - 1]] + tokens[i] > budget
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", max_size=12), min_size=1,
+                max_size=8),
+       st.lists(st.text(alphabet="abcdef", max_size=12), min_size=1,
+                max_size=8))
+def test_myers_levenshtein_matches_scalar_dp(xs, ys):
+    from ent_res_feedback_ray.functions.strsim import (
+        levenshtein, levenshtein_batch_myers)
+
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    got = levenshtein_batch_myers(xs, ys)
+    want = np.array([levenshtein(a, b) for a, b in zip(xs, ys)])
+    assert np.array_equal(got, want)
+
+
+def test_splitmix64_injective_on_range():
+    from ent_res_feedback_ray.functions.hashing import splitmix64
+
+    x = np.arange(100_000, dtype=np.int64)
+    h = splitmix64(x, seed=9)
+    assert h.dtype == np.uint64
+    assert len(np.unique(h)) == len(x)   # bijective finalizer → no collisions
