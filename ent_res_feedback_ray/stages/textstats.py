@@ -21,12 +21,18 @@ import ray.data
 from ..functions.textnorm import normalize_text_array, token_count_array
 from ..sources.tables import read_table
 
-# tiny deterministic stopword table per language (public-knowledge lists)
+# tiny deterministic stopword table per language (public-knowledge lists;
+# ascii-only because markers match POST-normalization tokens).  The SQL
+# twin is GENERATED from this table (_lang_id_sql), so extending it keeps
+# doc_lang_id / curate_corpus / lang_gate oracles in lockstep.
 _LANG_MARKERS: dict[str, frozenset] = {
     "en": frozenset({"the", "and", "of", "to", "a", "in", "is"}),
     "fr": frozenset({"le", "la", "les", "de", "et", "un", "une"}),
     "de": frozenset({"der", "die", "das", "und", "ein", "ist"}),
     "es": frozenset({"el", "la", "los", "de", "y", "un", "es"}),
+    "it": frozenset({"il", "di", "che", "per", "con", "non"}),
+    "nl": frozenset({"het", "een", "van", "niet", "met", "voor"}),
+    "pt": frozenset({"o", "que", "do", "da", "em", "um", "para"}),
 }
 
 
@@ -253,11 +259,27 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
     })
 
 
-# Bit-exact twin of the stopword heuristic: per-language marker hits over
-# the doc's DISTINCT normalized tokens, argmax with ties to the
-# alphabetically-first code (the Python loop iterates sorted codes and only
-# a STRICTLY greater count overrides), 'unk' when no marker fires.
-LANG_ID_SQL = """
+def _lang_id_sql() -> str:
+    """Bit-exact twin of the stopword heuristic, GENERATED from
+    ``_LANG_MARKERS`` so the Ray kernel and the SQL can never drift:
+    per-language marker hits over the doc's DISTINCT normalized tokens,
+    argmax with ties to the alphabetically-first code (the Python loop
+    iterates sorted codes and only a STRICTLY greater count overrides —
+    equivalently: the first code whose count ≥ every LATER code's),
+    'unk' when no marker fires.  curate_corpus_sql composes this string,
+    so adding a language updates every dependent oracle in lockstep."""
+    codes = sorted(_LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(list_distinct(string_split(n, ' ')),\n"
+        f"        x -> x IN ({', '.join(repr(w) for w in sorted(_LANG_MARKERS[c]))}))) AS h{c}"
+        for c in codes)
+    best = ", ".join(f"h{c}" for c in codes)
+    whens = [f"WHEN greatest({best}) = 0 THEN 'unk'"]
+    for i, c in enumerate(codes[:-1]):
+        conds = " AND ".join(f"h{c} >= h{d}" for d in codes[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{c}'")
+    case = "CASE " + "\n         ".join(whens) + f"\n         ELSE '{codes[-1]}' END"
+    return f"""
 WITH norm AS (
   SELECT doc_id, lang,
     trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
@@ -265,23 +287,12 @@ WITH norm AS (
 ),
 hits AS (
   SELECT doc_id, lang,
-    len(list_filter(list_distinct(string_split(n, ' ')),
-        x -> x IN ('der','die','das','und','ein','ist'))) AS hde,
-    len(list_filter(list_distinct(string_split(n, ' ')),
-        x -> x IN ('the','and','of','to','a','in','is'))) AS hen,
-    len(list_filter(list_distinct(string_split(n, ' ')),
-        x -> x IN ('el','la','los','de','y','un','es'))) AS hes,
-    len(list_filter(list_distinct(string_split(n, ' ')),
-        x -> x IN ('le','la','les','de','et','un','une'))) AS hfr
+    {hit_cols}
   FROM norm
 ),
 pred AS (
-  SELECT doc_id, lang, greatest(hde, hen, hes, hfr) AS best_hits,
-    CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'unk'
-         WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
-         WHEN hen >= hes AND hen >= hfr THEN 'en'
-         WHEN hes >= hfr THEN 'es'
-         ELSE 'fr' END AS pred_lang
+  SELECT doc_id, lang, greatest({best}) AS best_hits,
+    {case} AS pred_lang
   FROM hits
 )
 SELECT doc_id, pred_lang, pred_lang = lang AS agrees_with_declared,
@@ -289,6 +300,9 @@ SELECT doc_id, pred_lang, pred_lang = lang AS agrees_with_declared,
        pred_lang = 'en' AS is_english
 FROM pred
 """.strip()
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
