@@ -541,3 +541,106 @@ def approx_distinct(ds: ray.data.Dataset, col: str,
     regs = np.zeros(1 << p, dtype=np.int64)
     regs[sparse["idx"].to_numpy(np.int64)] = sparse["rank"].to_numpy(np.int64)
     return _hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# unigram log-loss quality score (model-free perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logloss(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc mean negative log-probability under the corpus's own
+    unigram LM — the model-free analog of CCNet-style perplexity
+    filtering: boilerplate scores LOW (common tokens), gibberish / wrong-
+    language text scores HIGH.  Output (doc_id, n_tokens, logloss; NaN for
+    empty docs), ``logloss = mean_i −ln(count(tok_i)/total_tokens)``.
+
+    Two passes, both bounded: (1) the range-sharded TERM-frequency side
+    input (stages/tokendf.py, the same plasma layout as the DF pair
+    features — the vocabulary never lands on the driver) + one scalar
+    total; (2) a stateless scoring map (hash → searchsorted lookup; a
+    truncated-table miss counts 1, i.e. maximally surprising).  48-bit
+    token-hash collisions merge counts with odds ~vocab²/2⁴⁸
+    (documented; the pytest DuckDB twin over raw strings agrees at test
+    scale, round-6)."""
+    from .normalize import normalize_stage
+    from .shuffleops import _broadcast_get
+    from .tokendf import (
+        ShardedTokenDF, build_token_df, resolve_view, token_hashes)
+
+    import ray as _ray
+
+    # no materialize: the scoring pass re-runs the (cheap, vectorized)
+    # normalize rather than pinning the whole normalized corpus in plasma
+    norm = normalize_stage(ds.select_columns([id_col, text_col])) \
+        .select_columns([id_col, "norm_text"])
+    tf: ShardedTokenDF = build_token_df(norm, n_shards=None, min_df=1,
+                                        distinct_per_doc=False)
+
+    @_ray.remote
+    def _total(*shards) -> int:
+        return int(sum(int(s[1].sum()) for s in shards))
+
+    total_ref = _total.remote(*tf.refs)
+    handle_ref = _ray.put(tf)
+
+    def _score(t: pa.Table) -> pa.Table:
+        view = resolve_view(_broadcast_get(handle_ref))
+        total = float(_broadcast_get(total_ref))
+        norms = t.column("norm_text").to_pylist()
+        n = len(norms)
+        tok_lists = [(s or "").split() for s in norms]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+        out = np.full(n, np.nan)
+        m = int(lens.sum())
+        if m:
+            from itertools import chain
+
+            th = token_hashes(list(chain.from_iterable(tok_lists)))
+            cnts = view.lookup_hashes(th)
+            nll = -np.log(cnts / total)
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            sums = np.zeros(n, np.float64)
+            np.add.at(sums, doc, nll)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(lens > 0, sums / np.maximum(lens, 1), np.nan)
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "logloss": pa.array(np.round(out, 6), pa.float64(),
+                                from_pandas=True),
+        })
+
+    return norm.map_batches(_score, batch_format="pyarrow")
+
+
+def doc_unigram_logloss(sf_dir: str) -> ray.data.Dataset:
+    return unigram_logloss(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+UNIGRAM_LOGLOSS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(n, ' ')) AS token
+  FROM norm WHERE n <> ''
+),
+tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+scored AS (
+  SELECT k.doc_id, avg(-ln(tf.c / tot.t)) AS ll, count(*) AS n_tokens
+  FROM tok k JOIN tf USING (token), tot GROUP BY k.doc_id
+)
+SELECT n.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       round(s.ll, 6) AS logloss
+FROM norm n LEFT JOIN scored s USING (doc_id)
+""".strip()

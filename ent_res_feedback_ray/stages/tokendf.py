@@ -122,10 +122,13 @@ def resolve_view(obj) -> "TokenDFView | None":
     raise TypeError(f"unsupported token-DF side input: {type(obj)!r}")
 
 
-def _df_partial_batch(t: pa.Table, norm_col: str) -> pa.Table:
+def _df_partial_batch(t: pa.Table, norm_col: str,
+                      distinct_per_doc: bool = True) -> pa.Table:
     """One block → partial (tok_hash, c) counts, fully vectorized: split +
     one fnv pass + lexsort per-doc distinct + unique-count (no Python loop
-    over tokens — round-3 verdict item)."""
+    over tokens — round-3 verdict item).  ``distinct_per_doc=False`` skips
+    the per-doc dedup and counts TERM frequency instead of document
+    frequency (the unigram-LM side input)."""
     norms = t.column(norm_col).to_pylist()
     n = len(norms)
     tok_lists = [(s or "").split() for s in norms]
@@ -135,11 +138,14 @@ def _df_partial_batch(t: pa.Table, norm_col: str) -> pa.Table:
         return pa.table({"tok_hash": pa.array([], pa.int64()),
                          "c": pa.array([], pa.int64())})
     th = token_hashes(list(chain.from_iterable(tok_lists)))
-    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
-    order = np.lexsort((th, doc))
-    v, d = th[order], doc[order]
-    first = np.concatenate([[True], (v[1:] != v[:-1]) | (d[1:] != d[:-1])])
-    uh, c = np.unique(v[first], return_counts=True)
+    if distinct_per_doc:
+        doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((th, doc))
+        v, d = th[order], doc[order]
+        first = np.concatenate([[True], (v[1:] != v[:-1]) | (d[1:] != d[:-1])])
+        uh, c = np.unique(v[first], return_counts=True)
+    else:
+        uh, c = np.unique(th, return_counts=True)
     return pa.table({"tok_hash": pa.array(uh, pa.int64()),
                      "c": pa.array(c.astype(np.int64), pa.int64())})
 
@@ -190,15 +196,18 @@ def _df_shard_task(min_df: int, max_entries: "int | None", *slices):
 
 def build_token_df(norm_ds: ray.data.Dataset, norm_col: str = "norm_text",
                    n_shards: int | None = None, min_df: int = 2,
-                   max_entries_per_shard: int | None = None
+                   max_entries_per_shard: int | None = None,
+                   distinct_per_doc: bool = True
                    ) -> ShardedTokenDF:
     """Distributed corpus-DF build: map_batches partial counts → ranged
     task exchange → per-shard assembly.  The driver holds ObjectRefs only;
     every array faults inside a worker.  ``min_df=2`` is lossless for the
     shared-token pair features (a shared token is in ≥ 2 docs by
-    definition)."""
+    definition).  ``distinct_per_doc=False`` builds TERM frequencies (the
+    unigram-LM table; pass min_df=1 there so misses stay meaningful)."""
     partial = norm_ds.map_batches(
-        lambda t: _df_partial_batch(t, norm_col), batch_format="pyarrow")
+        lambda t: _df_partial_batch(t, norm_col, distinct_per_doc),
+        batch_format="pyarrow")
     block_refs = partial.to_arrow_refs()
     if not block_refs:
         return ShardedTokenDF(

@@ -374,3 +374,33 @@ def test_splitmix64_injective_on_range():
     h = splitmix64(x, seed=9)
     assert h.dtype == np.uint64
     assert len(np.unique(h)) == len(x)   # bijective finalizer → no collisions
+
+
+def test_unigram_logloss_matches_duckdb_twin():
+    from ent_res_feedback_ray.stages.textstats import (
+        UNIGRAM_LOGLOSS_SQL, doc_unigram_logloss)
+
+    out = doc_unigram_logloss(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ora = con.execute(UNIGRAM_LOGLOSS_SQL).df()
+    cols = ["doc_id", "n_tokens", "logloss"]
+    a = out[cols].sort_values("doc_id").reset_index(drop=True)
+    b = ora[cols].sort_values("doc_id").reset_index(drop=True)
+    b["n_tokens"] = b["n_tokens"].astype(np.int64)
+    assert a.equals(b)
+
+
+def test_unigram_logloss_orders_boilerplate_below_gibberish():
+    from ent_res_feedback_ray.stages.textstats import unigram_logloss
+
+    common = "the quick brown fox jumps over the lazy dog"
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": [common] * 10 + [common + " zyxqv wvuqk jjqzx",
+                                 "zzz qqq vvv kkk www yyy xxx"],
+    })
+    out = unigram_logloss(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("doc_id")["logloss"]
+    assert out[0] < out[10] < out[11]   # boilerplate < mixed < gibberish
