@@ -412,3 +412,48 @@ def _pack_sequences(**kw) -> Stage:
         return pack_sequences(ds, **kw)
 
     return _s
+
+
+@register_stage("domain_gate")
+def _domain_gate(blocklist: "list[str] | None" = None,
+                 url_col: str = "url") -> Stage:
+    """Drop docs whose URL host is on the blocklist (broadcast frozenset;
+    host = third '/'-segment, matching the facet twin's convention)."""
+    import ray as _ray
+
+    blocked = frozenset(blocklist or [])
+
+    def _s(ds, ctx):
+        ref = _ray.put(blocked)
+
+        def _f(df):
+            from ..stages.shuffleops import _broadcast_get
+
+            bl = _broadcast_get(ref)
+            host = df[url_col].str.split("/").str[2]
+            return df[~host.isin(bl)]
+
+        return ds.map_batches(_f, batch_format="pandas")
+
+    return _s
+
+
+@register_stage("unigram_gate")
+def _unigram_gate(max_logloss: float = 12.0, text_col: str = "text") -> Stage:
+    """Drop docs whose corpus-unigram log-loss exceeds ``max_logloss``
+    (the model-free perplexity gate) — scores via textstats.unigram_logloss
+    then a semi-join back on doc_id, so the text column never enters the
+    scoring exchange twice."""
+    from ..stages.shuffleops import join_on_key
+    from ..stages.textstats import unigram_logloss
+
+    def _s(ds, ctx):
+        scores = unigram_logloss(ds, text_col=text_col)
+
+        def _keep(df):
+            return df.loc[df["logloss"] <= max_logloss, ["doc_id"]]
+
+        keepers = scores.map_batches(_keep, batch_format="pandas")
+        return join_on_key(ds, keepers, "doc_id", how="semi")
+
+    return _s

@@ -219,3 +219,28 @@ def test_config_curation_pipeline_matches_funnel_keepers():
     assert boiler.strip() in out.loc[0, "redacted_text"]
     assert boiler.strip() not in out.loc[1, "redacted_text"]  # para dedup
     assert "<EMAIL>" in out.loc[1, "redacted_text"]
+
+
+def test_domain_and_unigram_gates():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    common = "the quick brown fox jumps over the lazy dog in the meadow"
+    n_common = 10
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_common + 2, dtype=np.int64),
+        "url": [f"http://good.com/{i}" for i in range(n_common)]
+        + ["http://spam.example/b", "http://good.com/z"],
+        "text": [common] * n_common
+        + [common, "zzqv wvuqk jjqzx qqpw zxcv mnbv"],  # blocked, gibberish
+    })
+    run = build_pipeline([
+        {"stage": "domain_gate", "blocklist": ["spam.example"]},
+        {"stage": "unigram_gate", "max_logloss": 3.5},
+    ])
+    out = run(ray.data.from_pandas(df)).to_pandas()
+    # blocked host (10) and gibberish (11) both dropped
+    assert sorted(out["doc_id"]) == list(range(n_common))
