@@ -268,23 +268,28 @@ def scaling_run(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
 
-    def run(ncpu: int) -> dict:
-        best = None
-        for _ in range(repeats):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                       GRAFT_SCALE_FACTOR=str(factor))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--er-scaled"],
-                env=env, capture_output=True, text=True, check=True)
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            # min-of-N: the sandbox host has noisy ambient load; the fastest
-            # run is the least-contended measurement of the same fixed work
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_SCALE_FACTOR=str(factor))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--er-scaled"],
+            env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # INTERLEAVED legs (lo,hi,lo,hi,...), min-of-N per leg: ambient
+    # co-tenant load on this shared host arrives in multi-minute windows,
+    # so running all-lo-then-all-hi lets one window tax a single leg and
+    # skew the ratio in either direction; interleaving makes each (lo,hi)
+    # pair sample the same window, and min-of-N still rejects transient
+    # noise within a leg
+    r_lo = r_hi = None
+    for _ in range(repeats):
+        a = run_once(lo)
+        b = run_once(hi)
+        if r_lo is None or a["value"] < r_lo["value"]:
+            r_lo = a
+        if r_hi is None or b["value"] < r_hi["value"]:
+            r_hi = b
     tp_lo = r_lo["docs_per_sec"]
     tp_hi = r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
