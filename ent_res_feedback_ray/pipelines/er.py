@@ -1633,8 +1633,9 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
     partition-invariant hash sample + balanced per-class cap — the full pair
     set never reaches the driver.
 
-    ``scorer``: "logistic" (default, the registered query's pinned behavior)
-    or "mlp" (the numpy MLPLayer analog, state/mlp.py) — both serve through
+    ``scorer``: "logistic" (default, the registered query's pinned
+    behavior), "mlp" (the numpy MLPLayer analog, state/mlp.py) or "neumiss"
+    (Neumann-unrolled missingness block, state/mlp.py) — all serve through
     the same duck-typed actor-pool stage."""
     from ..stages.features import FEATURE_COLS
     from ..stages.sampling import balanced_sample, pair_sample_stage
@@ -1652,7 +1653,10 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
                       >= GOLD_JACCARD).astype(np.float64)
     train = balanced_sample(train, "label", max_train_pairs // 2,
                             key_cols=["id1", "id2"], seed=29)
-    cls = MLPScorer if scorer == "mlp" else LogisticScorer
+    from ..state.mlp import NeuMissScorer
+
+    cls = {"mlp": MLPScorer, "neumiss": NeuMissScorer}.get(
+        scorer, LogisticScorer)
     model = cls(seed=17).fit(
         train[FEATURE_COLS].to_numpy(np.float64),
         train["label"].to_numpy(np.float64))

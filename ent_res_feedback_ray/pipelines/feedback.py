@@ -114,15 +114,18 @@ def synthesize_constraint_seeds(assignments: ray.data.Dataset,
 def _load_scorer(model_path: str, scorer_cls):
     """Resume-safe model load: a round checkpoint written with one scorer
     class must not be fed to another's loader (LogisticScorer npz has
-    'w'/'b'/'nan_fill'; MLPScorer has 'W1'/'b1'/'W2'/'b2'/'mu'/'sd') —
-    probe the npz keys and dispatch to the matching class, warning when it
-    differs from the requested ``scorer_cls`` (round-3 ADVICE)."""
-    from ..state.mlp import MLPScorer
+    'w'/'b'/'nan_fill'; MLPScorer has 'W1'/'b1'/'W2'/'b2'/'mu'/'sd';
+    NeuMissScorer additionally has the Neumann block 'Wn') — probe the npz
+    keys and dispatch to the matching class, warning when it differs from
+    the requested ``scorer_cls`` (round-3 ADVICE)."""
+    from ..state.mlp import MLPScorer, NeuMissScorer
 
     with np.load(model_path) as data:
         keys = set(data.files)
     if "w" in keys:
         cls = LogisticScorer
+    elif "Wn" in keys:
+        cls = NeuMissScorer
     elif "W1" in keys:
         cls = MLPScorer
     else:
