@@ -162,9 +162,9 @@ def run_feedback_rounds(
     ``LogisticScorer`` (default) or ``state.mlp.MLPScorer``.  With the MLP
     this loop is the graft's analog of the reference e2e train loop
     (/root/reference/e2e_scripts/train.py:32-425): alternating
-    MLP-score → cluster → reveal → retrain, minus the backprop-through-SDP
-    step (no autodiff in this env; CC inference is available as the forward
-    clustering via stages/correlation.py)."""
+    MLP-score → cluster → reveal → retrain.  The backprop-through-SDP step
+    itself lives in ``train_e2e_on_blocks`` below (straight-through
+    gradients, state/e2e_train.py)."""
     os.makedirs(out_dir, exist_ok=True)
     # inputs may be single parquet files OR checkpoint directories (written
     # by write_checkpoint, which adds a _SUCCESS marker the readers must skip)
@@ -382,3 +382,113 @@ def run_feedback_rounds(
         history.append(metrics)
 
     return history
+
+
+def train_e2e_on_blocks(
+    pages_path: str,
+    gold_path: str,
+    scorer_cls: type | None = None,
+    n_blocks: int = 16,
+    max_block_docs: int = 12,
+    n_epochs: int = 25,
+    lr: float = 0.05,
+    threshold: float = 0.5,
+    seed: int = 17,
+    parallel: bool = True,
+) -> dict:
+    """Reference e2e train loop with real data plumbing
+    (/root/reference/e2e_scripts/train.py:32-425): blocked + featurized
+    pairs become fully-labeled per-block training instances, and the
+    scorer trains straight-through the SDP + HAC-cut rounding
+    (state/e2e_train.py — identity backward through rounding and the SDP
+    argmax, replacing torch/cvxpylayers).
+
+    Bounded by construction: ≤ ``n_blocks`` blocks of 3..``max_block_docs``
+    docs each — the reference's own train-time block subsample
+    (/root/reference/wandb_configs/sweeps/e2e.json:11-12, 80 train / 100
+    dev blocks) — so the driver pull is O(n_blocks · max_block_docs²)
+    labeled pairs, never the corpus.  Per-epoch per-block gradients fan
+    out as Ray tasks when ``parallel``.
+
+    Returns {"scorer", "loss_history", "pair_f1_before", "pair_f1_after",
+    "n_blocks", "n_pairs"}.
+    """
+    from ..stages.blocking import key_blocking_stage
+    from ..stages.features import featurize_stage
+    from ..stages.normalize import normalize_stage
+    from ..stages.pairs import pairs_from_blocks
+    from ..stages.shuffleops import bucketed_aggregate
+    from ..state.e2e_train import TrainBlock, pairwise_f1, train_e2e
+    from ..state.mlp import MLPScorer
+    from .er import add_doc_ids
+
+    pages = ray.data.read_parquet(pages_path, file_extensions=["parquet"])
+    blk = key_blocking_stage(normalize_stage(add_doc_ids(pages)))
+
+    # trainable block keys: 3..max docs, deterministic subsample of
+    # n_blocks by block_key order (bounded driver pull: n_blocks keys)
+    sizes = bucketed_aggregate(
+        blk.select_columns(["doc_id", "block_key"]), "block_key",
+        n_docs=("doc_id", "size"))
+    chosen = (sizes
+              .filter(lambda r: 3 <= r["n_docs"] <= max_block_docs)
+              .sort("block_key").limit(n_blocks).to_pandas())
+    keys = set(chosen["block_key"])
+    key_ref = ray.put(keys)
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.shuffleops import _broadcast_get
+
+        return df[df["block_key"].isin(_broadcast_get(key_ref))]
+
+    sub = blk.map_batches(_keep, batch_format="pandas")
+    pairs = pairs_from_blocks(
+        sub.select_columns(
+            ["doc_id", "block_key", "norm_text", "lang", "warc_ts"]),
+        block_col="block_key", id_col="doc_id",
+        carry_cols=["norm_text", "lang", "warc_ts"])
+    feats = featurize_stage(pairs).to_pandas()  # bounded: ≤ n_blocks·C(max,2)
+
+    # gold entity per doc id (labels are bounded by contract — the
+    # reference trains on ≤100k labeled pairs)
+    from ..functions.hashing import blake2b64
+
+    gold_urls = pd.read_parquet(gold_path)
+    gold_urls["doc_id"] = [blake2b64(u) >> 1 for u in gold_urls["url"]]
+    gold_of = dict(zip(gold_urls["doc_id"], gold_urls["gold_entity_id"]))
+
+    blocks: list[TrainBlock] = []
+    n_pairs = 0
+    for _, part in feats.groupby("block_key", sort=True):
+        ids = np.sort(pd.unique(part[["id1", "id2"]].to_numpy().ravel()))
+        if len(ids) < 3 or any(int(i) not in gold_of for i in ids):
+            continue
+        pos = {int(v): j for j, v in enumerate(ids)}
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        fmat = np.full((len(iu), len(FEATURE_COLS)), np.nan)
+        row_of = {(pos[int(a)], pos[int(b)]): r
+                  for r, (a, b) in enumerate(zip(part["id1"], part["id2"]))}
+        fvals = part[FEATURE_COLS].to_numpy(np.float64)
+        for r, (a, b) in enumerate(zip(iu, ju)):
+            src = row_of.get((int(a), int(b))) or row_of.get((int(b), int(a)))
+            if src is not None:
+                fmat[r] = fvals[src]
+        ent = np.asarray([gold_of[int(i)] for i in ids])
+        gold = (ent[iu] == ent[ju]).astype(np.float64)
+        blocks.append(TrainBlock(feats=fmat, n_docs=n, gold=gold))
+        n_pairs += len(iu)
+
+    scorer = (scorer_cls or MLPScorer)(seed=seed)
+    scorer.ensure_init(np.concatenate([b.feats for b in blocks], axis=0))
+    f1_before = pairwise_f1(scorer, blocks, threshold)
+    hist = train_e2e(scorer, blocks, n_epochs=n_epochs, lr=lr,
+                     threshold=threshold, parallel=parallel)
+    return {
+        "scorer": scorer,
+        "loss_history": hist,
+        "pair_f1_before": f1_before,
+        "pair_f1_after": pairwise_f1(scorer, blocks, threshold),
+        "n_blocks": len(blocks),
+        "n_pairs": n_pairs,
+    }

@@ -67,3 +67,17 @@ def test_e2e_training_with_neumiss_under_missingness():
     history = train_e2e(scorer, blocks, n_epochs=40, lr=0.05)
     assert history[-1] < 0.7 * history[0]
     assert pairwise_f1(scorer, blocks) > 0.85
+
+
+def test_e2e_train_on_real_blocks(synth_pages):
+    """Full plumbing: pages → blocking → featurize → TrainBlocks → e2e
+    train (parallel).  The trained scorer's rounded clustering beats the
+    cold-start one on its own training blocks."""
+    from ent_res_feedback_ray.pipelines.feedback import train_e2e_on_blocks
+
+    pages_path, gold_path = synth_pages
+    out = train_e2e_on_blocks(pages_path, gold_path, n_blocks=10,
+                              n_epochs=15, parallel=True)
+    assert out["n_blocks"] >= 3
+    assert out["loss_history"][-1] <= out["loss_history"][0]
+    assert out["pair_f1_after"] >= max(0.9, out["pair_f1_before"])
