@@ -1621,26 +1621,18 @@ def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
     return joined.map_batches(_fill, batch_format="pandas").sort("id")
 
 
-def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
-                   scorer: str = "logistic") -> ray.data.Dataset:
-    """Trained-scorer path: fit the numpy logistic scorer on deterministic
-    self-labels (shingle_jaccard ≥ 0.5) over a BOUNDED training sample of the
-    candidate pairs, then serve inference through the actor-pool stage
-    (rows-only: model inference is not SQL-expressible).  Demonstrates the
-    reference's train-on-driver / infer-distributed split
+def _fit_trained_scorer(sf_dir: str, max_train_pairs: int = 50_000,
+                        scorer: str = "logistic"):
+    """(featurized pairs Dataset, fitted scorer, bounded train sample) —
+    the reference's train-on-driver / infer-distributed split
     (/root/reference/s2and/model.py:744-876) with its bounded training set
     (≤100k pairs, e2e_scripts/preprocess_s2and_data.py:34-36): a
-    partition-invariant hash sample + balanced per-class cap — the full pair
-    set never reaches the driver.
-
-    ``scorer``: "logistic" (default, the registered query's pinned
-    behavior), "mlp" (the numpy MLPLayer analog, state/mlp.py) or "neumiss"
-    (Neumann-unrolled missingness block, state/mlp.py) — all serve through
-    the same duck-typed actor-pool stage."""
+    partition-invariant hash sample + balanced per-class cap on
+    deterministic self-labels (shingle_jaccard ≥ 0.5) — the full pair set
+    never reaches the driver."""
     from ..stages.features import FEATURE_COLS
     from ..stages.sampling import balanced_sample, pair_sample_stage
-    from ..stages.scoring import trained_scoring_stage
-    from ..state.mlp import MLPScorer
+    from ..state.mlp import MLPScorer, NeuMissScorer
     from ..state.model import LogisticScorer
 
     feats = featurize_stage(candidate_pairs(sf_dir)).materialize()
@@ -1653,13 +1645,27 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
                       >= GOLD_JACCARD).astype(np.float64)
     train = balanced_sample(train, "label", max_train_pairs // 2,
                             key_cols=["id1", "id2"], seed=29)
-    from ..state.mlp import NeuMissScorer
-
     cls = {"mlp": MLPScorer, "neumiss": NeuMissScorer}.get(
         scorer, LogisticScorer)
     model = cls(seed=17).fit(
         train[FEATURE_COLS].to_numpy(np.float64),
         train["label"].to_numpy(np.float64))
+    return feats, model, train
+
+
+def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
+                   scorer: str = "logistic") -> ray.data.Dataset:
+    """Trained-scorer path: fit on the bounded sample
+    (see ``_fit_trained_scorer``), then serve inference through the
+    actor-pool stage (rows-only: model inference is not SQL-expressible).
+
+    ``scorer``: "logistic" (default, the registered query's pinned
+    behavior), "mlp" (the numpy MLPLayer analog, state/mlp.py) or "neumiss"
+    (Neumann-unrolled missingness block, state/mlp.py) — all serve through
+    the same duck-typed actor-pool stage."""
+    from ..stages.scoring import trained_scoring_stage
+
+    feats, model, _ = _fit_trained_scorer(sf_dir, max_train_pairs, scorer)
     scored = trained_scoring_stage(feats, model)
 
     def _proj(b: pa.Table) -> pa.Table:
@@ -1668,6 +1674,30 @@ def scores_trained(sf_dir: str, max_train_pairs: int = 50_000,
             3, "score", pc.round(b.column("score"), 6))
 
     return scored.map_batches(_proj, batch_format="pyarrow")
+
+
+def explain_features(sf_dir: str, scorer: str = "logistic",
+                     max_train_pairs: int = 50_000,
+                     background_rows: int = 64,
+                     n_samples: int = 16) -> pd.DataFrame:
+    """Reference SHAP diagnostics over the real featurizer output
+    (/root/reference/s2and/eval.py:430-607): fit the bounded trained
+    scorer, attribute every candidate pair's score to its features
+    DISTRIBUTED (eval/explain.explain_stage, model broadcast once), and
+    reduce to the global mean-|φ| importance ranking.  The background
+    distribution is a deterministic slice of the (already bounded,
+    hash-sampled, class-balanced) training sample."""
+    from ..eval.explain import explain_stage, feature_importance
+    from ..stages.features import FEATURE_COLS
+
+    feats, model, train = _fit_trained_scorer(sf_dir, max_train_pairs,
+                                              scorer)
+    bg = (train.sort_values(["id1", "id2"]).head(background_rows)
+          [FEATURE_COLS].to_numpy(np.float64))
+    explained = explain_stage(
+        feats.select_columns(["id1", "id2", *FEATURE_COLS]), model,
+        FEATURE_COLS, bg, n_samples=n_samples)
+    return feature_importance(explained, FEATURE_COLS)
 
 
 def b3_blocks_vs_lang(sf_dir: str) -> pd.DataFrame:

@@ -79,3 +79,16 @@ def test_explain_stage_matches_driver_rows(sf_dir):
     local = sampling_shap_values(sc, X, bg, n_samples=8, seed=11)
     got = out[[f"shap_{c}" for c in cols]].to_numpy()
     assert np.allclose(got, local, atol=1e-9)
+
+
+def test_er_explain_pipeline(sf_dir):
+    """Importance over the real featurizer output: the self-label source
+    feature (shingle_jaccard) must rank near the top, and every feature
+    gets a finite attribution."""
+    from ent_res_feedback_ray.pipelines.er import explain_features
+    from ent_res_feedback_ray.stages.features import FEATURE_COLS
+
+    imp = explain_features(sf_dir)
+    assert set(imp["feature"]) == set(FEATURE_COLS)
+    assert np.isfinite(imp["mean_abs_shap"]).all()
+    assert "shingle_jaccard" in set(imp.head(3)["feature"])
