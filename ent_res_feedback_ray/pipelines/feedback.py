@@ -430,8 +430,11 @@ def train_e2e_on_blocks(
     sizes = bucketed_aggregate(
         blk.select_columns(["doc_id", "block_key"]), "block_key",
         n_docs=("doc_id", "size"))
-    chosen = (sizes
-              .filter(lambda r: 3 <= r["n_docs"] <= max_block_docs)
+
+    def _trainable(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"].between(3, max_block_docs)]
+
+    chosen = (sizes.map_batches(_trainable, batch_format="pandas")
               .sort("block_key").limit(n_blocks).to_pandas())
     keys = set(chosen["block_key"])
     key_ref = ray.put(keys)
