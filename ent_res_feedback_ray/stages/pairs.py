@@ -281,3 +281,233 @@ def dedup_pairs(ds: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset
     keyed = ds.map_batches(_with_key, batch_format="pandas")
     out = bucketed_group_apply(keyed, "__pair", _distinct, num_buckets)
     return out.drop_columns(["__pair"])
+
+
+def salted_window_pairs(
+    ds: ray.data.Dataset,
+    block_col: str,
+    id_col: str,
+    carry_cols: list[str],
+    max_pairs_per_block: int = 100_000,
+    sort_col: str | None = None,
+    salt_threshold_rows: int = 200_000,
+    chunk_rows: int = 100_000,
+    num_buckets: int = 32,
+    sample_per_chunk: int = 32,
+    seed: int = 41,
+    max_salted_blocks: int = 100_000,
+) -> ray.data.Dataset:
+    """EXPLICIT SALTING of oversized blocks (the north-star skew mechanism;
+    SURVEY §7 "explicit salting of oversized blocks"): identical pair set to
+    ``pairs_from_blocks(oversize_mode="window")``, but a mega-host block is
+    emitted by MANY parallel tasks instead of one straggler holding every
+    row of the block.
+
+    Construction (exactness argument):
+
+    1. blocks with ≥ ``salt_threshold_rows`` rows AND over the pair budget
+       take the salted path; everything else goes through the normal
+       bucketed emission unchanged;
+    2. per salted block, sort-order chunk BOUNDARIES are estimated from a
+       seeded hash sample (boundaries only control balance — ANY boundary
+       set yields the exact pair set, because chunks are contiguous key
+       ranges of the same (sort_col, id) order the unsalted path sorts by);
+    3. provisional chunks are counted EXACTLY (one small aggregate) and
+       greedily merged so every chunk except a block's last holds ≥ w rows
+       (w = budget // n, the window width) — this bounds how far a window
+       can reach: partners of a row in chunk k lie in chunk k or k+1;
+    4. every row ships to its own chunk and the preceding one (≤ 2×
+       movement of the salted rows only); each (block, chunk) group sorts
+       locally, its OWN rows form a prefix, and each own row pairs with the
+       next w rows — the union over chunks is exactly the global
+       sorted-neighborhood emission, disjointly partitioned.
+
+    Driver state: per-salted-block sizes + boundary samples + chunk-size
+    table — all O(#salted blocks + #chunks), loudly capped at
+    ``max_salted_blocks``, never O(rows)."""
+    from ..functions.hashing import fnv1a64
+    from .shuffleops import _broadcast_get, bucketed_aggregate
+
+    order_col = sort_col or id_col
+    budget = max_pairs_per_block
+
+    sizes = bucketed_aggregate(
+        ds.select_columns([id_col, block_col]), block_col,
+        n=(id_col, "size"), num_buckets=num_buckets)
+
+    def _oversized(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        return df[(n >= salt_threshold_rows) & (n * (n - 1) // 2 > budget)]
+
+    big = sizes.map_batches(_oversized, batch_format="pandas").to_pandas()
+    if len(big) > max_salted_blocks:
+        raise ValueError(
+            f"salted_window_pairs: {len(big)} oversized blocks exceeds the "
+            f"driver-state cap {max_salted_blocks}; raise the cap or "
+            f"salt_threshold_rows")
+    if big.empty:
+        return pairs_from_blocks(
+            ds, block_col, id_col, carry_cols, budget, sort_col,
+            num_buckets, oversize_mode="window")
+
+    n_of = dict(zip(big[block_col], big["n"].astype(int)))
+    w_of = {b: max(1, budget // n) for b, n in n_of.items()}
+    big_ref = ray.put((set(n_of), n_of, w_of))
+
+    def _split(keep_big: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            bigset, _, _ = _broadcast_get(big_ref)
+            m = df[block_col].isin(bigset)
+            return df[m] if keep_big else df[~m]
+        return _f
+
+    normal_pairs = pairs_from_blocks(
+        ds.map_batches(_split(False), batch_format="pandas"),
+        block_col, id_col, carry_cols, budget, sort_col,
+        num_buckets, oversize_mode="window")
+
+    bigds = ds.map_batches(_split(True), batch_format="pandas")
+
+    # --- 2. boundary sample (seeded, partition-invariant) ------------------
+    rate_of = {b: min(1.0, sample_per_chunk * max(1, -(-n // chunk_rows))
+                      / max(n, 1))
+               for b, n in n_of.items()}
+    rate_ref = ray.put(rate_of)
+
+    def _sample(df: pd.DataFrame) -> pd.DataFrame:
+        rates = _broadcast_get(rate_ref)
+        u = fnv1a64([f"saltsmp|{seed}|{v}" for v in df[id_col]])
+        r = df[block_col].map(rates).to_numpy(np.float64)
+        keep = (u.astype(np.float64) / 2.0 ** 64) < r
+        return df.loc[keep, [block_col, order_col, id_col]]
+
+    smp = bigds.map_batches(_sample, batch_format="pandas").to_pandas()
+
+    bounds: dict = {}
+    for b, part in smp.groupby(block_col, sort=False):
+        part = part.sort_values([order_col, id_col], kind="mergesort")
+        nchunks = max(1, -(-n_of[b] // chunk_rows))
+        if nchunks > 1 and len(part) > nchunks:
+            idx = (np.arange(1, nchunks)
+                   * (len(part) // nchunks)).astype(np.int64)
+            bounds[b] = (part[order_col].to_numpy()[idx],
+                         part[id_col].to_numpy()[idx])
+    bounds_ref = ray.put(bounds)
+
+    def _chunk_ids(bvals, bids, vals, ids) -> np.ndarray:
+        """#boundaries ≤ (val, id), vectorized with a tiny equal-run scan."""
+        lo = np.searchsorted(bvals, vals, side="left")
+        hi = np.searchsorted(bvals, vals, side="right")
+        out = lo.astype(np.int64)
+        eq = np.nonzero(hi > lo)[0]
+        for i in eq:
+            out[i] = lo[i] + int(np.searchsorted(
+                bids[lo[i]:hi[i]], ids[i], side="right"))
+        return out
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        bmap = _broadcast_get(bounds_ref)
+        df = df.copy()
+        chunk = np.zeros(len(df), dtype=np.int64)
+        for b, gidx in df.groupby(block_col, sort=False).indices.items():
+            bv = bmap.get(b)
+            if bv is not None:
+                chunk[gidx] = _chunk_ids(
+                    bv[0], bv[1], df[order_col].to_numpy()[gidx],
+                    df[id_col].to_numpy()[gidx])
+        df["__prov"] = chunk
+        return df
+
+    assigned = bigds.map_batches(_assign, batch_format="pandas").materialize()
+
+    # --- 3. exact chunk sizes → greedy merge so interior chunks hold ≥ w ---
+    csz = bucketed_aggregate(
+        assigned.select_columns([block_col, "__prov", id_col]),
+        [block_col, "__prov"], m=(id_col, "size"),
+        num_buckets=num_buckets).to_pandas()
+    remap: dict = {}
+    for b, part in csz.groupby(block_col, sort=False):
+        part = part.sort_values("__prov")
+        w = w_of[b]
+        final, acc = 0, 0
+        for prov, m in zip(part["__prov"], part["m"]):
+            remap[(b, int(prov))] = final
+            acc += int(m)
+            if acc >= w:
+                final, acc = final + 1, 0
+        # a trailing under-w run stays merged into the last closed chunk
+    remap_ref = ray.put(remap)
+
+    # --- 4. ship rows to own chunk + preceding chunk ------------------------
+    def _ship(df: pd.DataFrame) -> pd.DataFrame:
+        rm = _broadcast_get(remap_ref)
+        df = df.copy()
+        own = np.asarray([rm.get((b, int(p)), 0) for b, p in
+                          zip(df[block_col], df["__prov"])], dtype=np.int64)
+        df["__own"] = own
+        df = df.drop(columns=["__prov"])
+        prev = df[own > 0].copy()
+        prev["__grp"] = prev["__own"].to_numpy() - 1
+        df["__grp"] = own
+        return pd.concat([df, prev], ignore_index=True)
+
+    shipped = assigned.map_batches(_ship, batch_format="pandas")
+
+    # --- 5. per-(block, chunk) core-prefix window emission ------------------
+    def _emit(part: pd.DataFrame) -> pd.DataFrame:
+        _, nmap, wmap = _broadcast_get(big_ref)
+        frames = []
+        for (b, grp), g in part.groupby([block_col, "__grp"], sort=False):
+            g = g.sort_values([order_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+            m = int((g["__own"].to_numpy() == grp).sum())
+            if m == 0:
+                continue
+            w = wmap[b]
+            L = len(g)
+            iu_l, ju_l = [], []
+            for d in range(1, w + 1):
+                top = min(m, L - d)
+                if top <= 0:
+                    break
+                idx = np.arange(0, top)
+                iu_l.append(idx)
+                ju_l.append(idx + d)
+            if not iu_l:
+                continue
+            iu = np.concatenate(iu_l)
+            ju = np.concatenate(ju_l)
+            ids = g[id_col].to_numpy()
+            a, bb = ids[iu], ids[ju]
+            swap = a > bb
+            i1 = np.where(swap, ju, iu)
+            i2 = np.where(swap, iu, ju)
+            n_b = nmap[b]
+            data = {
+                block_col: np.repeat(b, len(iu)),
+                "id1": ids[i1],
+                "id2": ids[i2],
+            }
+            for c in carry_cols:
+                vals = g[c].to_numpy()
+                data[f"{c}1"] = vals[i1]
+                data[f"{c}2"] = vals[i2]
+            data["pairs_possible"] = np.repeat(
+                np.int64(n_b * (n_b - 1) // 2), len(iu))
+            frames.append(pd.DataFrame(data))
+        if not frames:
+            cols = {
+                block_col: np.empty(0, dtype=part[block_col].dtype),
+                "id1": np.empty(0, dtype=part[id_col].dtype),
+                "id2": np.empty(0, dtype=part[id_col].dtype),
+            }
+            for c in carry_cols:
+                cols[f"{c}1"] = np.empty(0, dtype=part[c].dtype)
+                cols[f"{c}2"] = np.empty(0, dtype=part[c].dtype)
+            cols["pairs_possible"] = np.empty(0, dtype=np.int64)
+            return pd.DataFrame(cols)
+        return pd.concat(frames, ignore_index=True)
+
+    salted = bucketed_group_apply(
+        shipped, [block_col, "__grp"], _emit, num_buckets)
+    return normal_pairs.union(salted)

@@ -157,3 +157,85 @@ def test_window_vs_sample_lineage_distinguishable():
         oversize_mode="window").to_pandas()
     # w = 45 // 40 = 1 → 39 adjacent pairs; sample mode → 45 clique pairs
     assert len(win) == 39
+
+
+def _salt_fixture(seed=7):
+    """One mega block (salted path), one windowed-but-small block, small
+    exhaustive blocks, and a singleton."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    nid = 0
+
+    def add_block(key, n):
+        nonlocal nid
+        for _ in range(n):
+            rows.append({
+                "block_key": key,
+                "doc_id": np.int64(nid * 7919 % 100003),
+                "txt": "t" + "".join(
+                    rng.choice(list("abcdefgh"), size=6)),
+            })
+            nid += 1
+
+    add_block("mega", 400)
+    add_block("midsize", 60)
+    add_block("tiny", 4)
+    add_block("single", 1)
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)
+    return ray.data.from_pandas(df.reset_index(drop=True))
+
+
+def _canon_pairs(df):
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+def test_salted_window_pairs_exact_equality(sf_dir):
+    """The salted emission is the SAME pair set as the single-task
+    windowed emission — chunk boundaries only move work, never pairs."""
+    from ent_res_feedback_ray.stages.pairs import (
+        pairs_from_blocks, salted_window_pairs)
+
+    ds = _salt_fixture()
+    kw = dict(block_col="block_key", id_col="doc_id", carry_cols=["txt"],
+              max_pairs_per_block=800, sort_col="txt")
+    base = pairs_from_blocks(ds, **kw, oversize_mode="window").to_pandas()
+    salt = salted_window_pairs(ds, **kw, salt_threshold_rows=100,
+                               chunk_rows=64).to_pandas()
+    a, b = _canon_pairs(base), _canon_pairs(salt)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_window_pairs_merges_underfilled_chunks(sf_dir):
+    """Adversarial: window width w exceeds the chunk target, so provisional
+    chunks MUST merge (interior chunks ≥ w) or pairs would be lost."""
+    from ent_res_feedback_ray.stages.pairs import (
+        pairs_from_blocks, salted_window_pairs)
+
+    ds = _salt_fixture(seed=11)
+    kw = dict(block_col="block_key", id_col="doc_id", carry_cols=["txt"],
+              max_pairs_per_block=8000, sort_col="txt")  # w = 20 for mega
+    base = pairs_from_blocks(ds, **kw, oversize_mode="window").to_pandas()
+    salt = salted_window_pairs(ds, **kw, salt_threshold_rows=100,
+                               chunk_rows=16).to_pandas()
+    pd.testing.assert_frame_equal(_canon_pairs(base), _canon_pairs(salt))
+
+
+def test_salted_window_pairs_no_oversized_fallback(sf_dir):
+    """With no block over the salt threshold the operator IS
+    pairs_from_blocks."""
+    from ent_res_feedback_ray.stages.pairs import (
+        pairs_from_blocks, salted_window_pairs)
+
+    ds = _salt_fixture(seed=13)
+    kw = dict(block_col="block_key", id_col="doc_id", carry_cols=["txt"],
+              max_pairs_per_block=800, sort_col="txt")
+    base = pairs_from_blocks(ds, **kw, oversize_mode="window").to_pandas()
+    salt = salted_window_pairs(ds, **kw, salt_threshold_rows=10_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon_pairs(base), _canon_pairs(salt))
