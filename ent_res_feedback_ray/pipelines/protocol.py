@@ -166,13 +166,23 @@ def _lsh_blocking(num_perm: int = 64, num_bands: int = 16, seed: int = 42,
 
 @register_stage("pairs")
 def _pairs(carry_cols: tuple = ("norm_text", "lang"), **kw) -> Stage:
-    from ..stages.pairs import dedup_pairs, pairs_from_blocks
+    """``salted=True`` routes oversized blocks through
+    ``salted_window_pairs`` (identical pair set, straggler-free — the
+    north-star skew mechanism); pass ``salt_threshold_rows``/``chunk_rows``
+    to tune when/how blocks shard."""
+    from ..stages.pairs import (dedup_pairs, pairs_from_blocks,
+                                salted_window_pairs)
 
     dedup = kw.pop("dedup", False)
+    salted = kw.pop("salted", False)
+
+    if salted and kw.pop("oversize_mode", "window") != "window":
+        raise ValueError("salted pairs is window-mode only")
 
     def _s(ds, ctx):
-        out = pairs_from_blocks(ds, block_col="block_key", id_col="doc_id",
-                                carry_cols=list(carry_cols), **kw)
+        fn = salted_window_pairs if salted else pairs_from_blocks
+        out = fn(ds, block_col="block_key", id_col="doc_id",
+                 carry_cols=list(carry_cols), **kw)
         return dedup_pairs(out) if dedup else out
 
     return _s

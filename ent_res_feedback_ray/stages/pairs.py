@@ -379,7 +379,8 @@ def salted_window_pairs(
         u = fnv1a64([f"saltsmp|{seed}|{v}" for v in df[id_col]])
         r = df[block_col].map(rates).to_numpy(np.float64)
         keep = (u.astype(np.float64) / 2.0 ** 64) < r
-        return df.loc[keep, [block_col, order_col, id_col]]
+        cols = list(dict.fromkeys([block_col, order_col, id_col]))
+        return df.loc[keep, cols]
 
     smp = bigds.map_batches(_sample, batch_format="pandas").to_pandas()
 

@@ -244,3 +244,18 @@ def test_domain_and_unigram_gates():
     out = run(ray.data.from_pandas(df)).to_pandas()
     # blocked host (10) and gibberish (11) both dropped
     assert sorted(out["doc_id"]) == list(range(n_common))
+
+
+def test_config_pipeline_salted_pairs_variant():
+    """The salted pair stage is a one-line config edit and yields the same
+    clustering (tiny blocks fall through to the normal path verbatim)."""
+    df, gold = _planted_pages()
+    cfg = [s if s.get("stage") != "pairs"
+           else {"stage": "pairs", "carry_cols": ("norm_text", "lang"),
+                 "salted": True, "salt_threshold_rows": 4, "chunk_rows": 2,
+                 "max_pairs_per_block": 3}
+           for s in BASE] + [{"stage": "cluster_transitive"}]
+    out = build_pipeline(cfg)(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(6))
+    with pytest.raises(ValueError):
+        make_stage("pairs", salted=True, oversize_mode="sample")
