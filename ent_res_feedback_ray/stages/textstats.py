@@ -644,3 +644,148 @@ SELECT n.doc_id,
        round(s.ll, 6) AS logloss
 FROM norm n LEFT JOIN scored s USING (doc_id)
 """.strip()
+
+
+# second, mechanism-independent language voter: discriminative character
+# trigrams of common function words (normalized ascii).  The reference's
+# detect_language is a fastText × cld2 ENSEMBLE whose is_reliable flag means
+# "the two detectors agree" (/root/reference/s2and/text.py:266-309); no LID
+# model exists in this env, so the two voters here are the marker-word
+# argmax (word-boundary regex mechanism) and this trigram-mass argmax
+# (substring-count mechanism) — independent failure modes, same agreement
+# logic.  The SQL twin is GENERATED from the same table (lockstep).
+_EXTRA_NGRAM_WORDS: dict[str, frozenset] = {
+    "en": frozenset({"this", "that", "with", "from", "they", "which"}),
+    "fr": frozenset({"pour", "dans", "avec", "sont", "vous", "nous"}),
+    "de": frozenset({"nicht", "sich", "auch", "werden", "eine", "durch"}),
+    "es": frozenset({"para", "como", "pero", "esta", "sobre", "entre"}),
+    "it": frozenset({"sono", "anche", "come", "questo", "della", "delle"}),
+    "nl": frozenset({"zijn", "deze", "ook", "maar", "naar", "worden"}),
+    "pt": frozenset({"para", "como", "mais", "pelo", "cada", "sempre"}),
+}
+
+
+def _build_lang_trigrams() -> dict[str, tuple]:
+    """Per-language padded-word trigrams UNIQUE to that language (shared
+    trigrams carry no signal and are dropped), capped at 16, sorted —
+    deterministic, so the generated SQL twin can never drift."""
+    from collections import Counter
+
+    raw: dict[str, set] = {}
+    for c in sorted(_LANG_MARKERS):
+        tri = set()
+        for w in sorted(_LANG_MARKERS[c] | _EXTRA_NGRAM_WORDS[c]):
+            p = f" {w} "
+            tri.update(p[i:i + 3] for i in range(len(p) - 2))
+        raw[c] = tri
+    cnt = Counter(t for s in raw.values() for t in s)
+    return {c: tuple(sorted(t for t in raw[c] if cnt[t] == 1))[:16]
+            for c in sorted(raw)}
+
+
+_LANG_TRIGRAMS = _build_lang_trigrams()
+
+
+def lang_id_ensemble_batch(t: pa.Table) -> pa.Table:
+    """Two-voter language ID with the reference ensemble-agreement logic:
+    pred_marker (word-boundary stopword argmax — the lang_id voter),
+    pred_ngram (discriminative-trigram substring-mass argmax),
+    votes_agree, is_reliable = agree AND marker evidence ≥ 2 hits."""
+    norm = normalize_text_array(t.column("text"))
+    n = t.num_rows
+    # voter A: marker-word distinct hits (same kernel as lang_id_batch)
+    best_hits = np.zeros(n, dtype=np.int64)
+    pred_a = np.full(n, "unk", dtype=object)
+    for code in sorted(_LANG_MARKERS):
+        hits = np.zeros(n, dtype=np.int64)
+        for w in sorted(_LANG_MARKERS[code]):
+            hits += pc.match_substring_regex(
+                norm, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+        better = hits > best_hits
+        pred_a[better] = code
+        best_hits = np.where(better, hits, best_hits)
+    # voter B: trigram occurrence mass over the padded text
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * n), norm, pa.array([" "] * n), "")
+    best_mass = np.zeros(n, dtype=np.int64)
+    pred_b = np.full(n, "unk", dtype=object)
+    for code in sorted(_LANG_TRIGRAMS):
+        mass = np.zeros(n, dtype=np.int64)
+        for tri in _LANG_TRIGRAMS[code]:
+            mass += pc.count_substring(
+                padded, pattern=tri).to_numpy(zero_copy_only=False)
+        better = mass > best_mass
+        pred_b[better] = code
+        best_mass = np.where(better, mass, best_mass)
+    agree = pred_a == pred_b
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "pred_marker": pa.array(pred_a, pa.string()),
+        "pred_ngram": pa.array(pred_b, pa.string()),
+        "votes_agree": pa.array(agree, pa.bool_()),
+        "is_reliable": pa.array(agree & (best_hits >= 2), pa.bool_()),
+        "is_english": pa.array(pred_a == "en", pa.bool_()),
+    })
+
+
+def lang_id_ensemble(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_ensemble_batch, batch_format="pyarrow")
+
+
+def _lang_id_ensemble_sql() -> str:
+    """Twin GENERATED from _LANG_MARKERS + _LANG_TRIGRAMS (engine-parity:
+    DuckDB replace() and Arrow count_substring both count non-overlapping
+    occurrences left-to-right)."""
+    codes = sorted(_LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(list_distinct(string_split(n, ' ')),\n"
+        f"        x -> x IN ({', '.join(repr(w) for w in sorted(_LANG_MARKERS[c]))}))) AS h{c}"
+        for c in codes)
+    mass_cols = ",\n    ".join(
+        " + ".join(
+            f"(length(p) - length(replace(p, '{tri}', ''))) / 3"
+            for tri in _LANG_TRIGRAMS[c]) + f" AS m{c}"
+        for c in codes)
+    besth = ", ".join(f"h{c}" for c in codes)
+    bestm = ", ".join(f"m{c}" for c in codes)
+
+    def argmax_case(prefix: str, best: str) -> str:
+        whens = [f"WHEN greatest({best}) = 0 THEN 'unk'"]
+        for i, c in enumerate(codes[:-1]):
+            conds = " AND ".join(
+                f"{prefix}{c} >= {prefix}{d}" for d in codes[i + 1:])
+            whens.append(f"WHEN {conds} THEN '{c}'")
+        return ("CASE " + "\n         ".join(whens)
+                + f"\n         ELSE '{codes[-1]}' END")
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents
+),
+padded AS (
+  SELECT doc_id, n, ' ' || n || ' ' AS p FROM norm
+),
+scores AS (
+  SELECT doc_id,
+    {hit_cols},
+    {mass_cols}
+  FROM padded
+),
+pred AS (
+  SELECT doc_id, greatest({besth}) AS best_hits,
+    {argmax_case("h", besth)} AS pred_marker,
+    {argmax_case("m", bestm)} AS pred_ngram
+  FROM scores
+)
+SELECT doc_id, pred_marker, pred_ngram,
+       pred_marker = pred_ngram AS votes_agree,
+       pred_marker = pred_ngram AND best_hits >= 2 AS is_reliable,
+       pred_marker = 'en' AS is_english
+FROM pred
+""".strip()
+
+
+LANG_ID_ENSEMBLE_SQL = _lang_id_ensemble_sql()
