@@ -1003,3 +1003,118 @@ def incremental_minhash_dedup(
             batch_format="pyarrow")
 
     return join_on_key(new_docs, dropped, "doc_id", num_buckets, how="anti")
+
+
+
+class BloomFilter:
+    """Fixed-size Bloom membership sketch — the bounded-state complement to
+    the exact frozen fingerprint store (``incremental_exact_dedup`` above):
+    where the exact store grows with history, the Bloom filter answers
+    "definitely new vs maybe seen" in O(m) memory chosen UP FRONT, the
+    right first-pass gate for a 10^12-url seen-set (reference has no sketch
+    layer — its corpora fit dictionaries, /root/reference/s2and/data.py;
+    this is part of the rebuild's web-scale dedup family alongside
+    HyperLogLog and Misra–Gries in stages/textstats.py).
+
+    k salted splitmix64 probes over string keys via fnv1a64; the packed
+    uint64 bit array is np-serializable, so the built filter broadcasts
+    zero-copy through plasma.  Public construction (Bloom 1970)."""
+
+    def __init__(self, n_bits: int, k: int = 7, seed: int = 5):
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.seed = int(seed)
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def for_capacity(cls, capacity: int, fpr: float = 0.01,
+                     seed: int = 5) -> "BloomFilter":
+        """Size for a target false-positive rate at ``capacity`` inserts:
+        m = -n ln p / (ln 2)^2, k = (m/n) ln 2 (standard optima)."""
+        n_bits = int(np.ceil(-capacity * np.log(fpr) / (np.log(2) ** 2)))
+        k = max(1, int(round(n_bits / max(capacity, 1) * np.log(2))))
+        return cls(n_bits=max(n_bits, 64), k=k, seed=seed)
+
+    def _positions(self, values) -> np.ndarray:
+        """(n, k) bit positions — one fnv pass + k splitmix salts."""
+        from ..functions.hashing import fnv1a64, splitmix64
+
+        h = fnv1a64([str(v) for v in values])
+        cols = [splitmix64(h, seed=self.seed + j) % np.uint64(self.n_bits)
+                for j in range(self.k)]
+        return np.stack(cols, axis=1)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 6,
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        got = (self.bits[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+        return got.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k, self.seed) == (
+            other.n_bits, other.k, other.seed)
+        self.bits |= other.bits
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(
+            self.bits.view(np.uint8)).sum()) / (len(self.bits) * 64)
+
+
+def bloom_build(ds: ray.data.Dataset, col: str, capacity: int,
+                fpr: float = 0.01, seed: int = 5,
+                num_shards: int = 16) -> BloomFilter:
+    """Distributed build: per-shard partial filters OR-merged in a
+    tree of Ray tasks — the driver receives ONE m-bit array (bounded by
+    the capacity choice, never by the data)."""
+    import ray as _ray
+
+    proto = BloomFilter.for_capacity(capacity, fpr, seed)
+    nb, kk, sd = proto.n_bits, proto.k, proto.seed
+
+    @_ray.remote
+    def _partial(shard_refs) -> np.ndarray:
+        bf = BloomFilter(nb, kk, sd)
+        for r in shard_refs:
+            t = _ray.get(r)  # refs nested in a list are not auto-resolved
+            bf.add(t.column(col).to_pylist())
+        return bf.bits
+
+    @_ray.remote
+    def _merge(*bit_arrays) -> np.ndarray:
+        out = bit_arrays[0].copy()
+        for b in bit_arrays[1:]:
+            out |= b
+        return out
+
+    refs = ds.select_columns([col]).to_arrow_refs()
+    shards = [refs[i::num_shards] for i in range(num_shards)]
+    parts = [_partial.remote(s) for s in shards if s]
+    while len(parts) > 1:
+        parts = [_merge.remote(*parts[i:i + 8])
+                 for i in range(0, len(parts), 8)]
+    proto.bits = _ray.get(parts[0])
+    return proto
+
+
+def bloom_novelty_split(new_ds: ray.data.Dataset, col: str,
+                        bloom: BloomFilter) -> ray.data.Dataset:
+    """Streaming-ingest gate: tag each incoming row ``definitely_new``
+    (Bloom miss — NO false negatives, safe to skip the exact store) vs
+    ``maybe_seen`` (hit — route to the exact incremental-dedup check).
+    The filter ships once via ``ray.put``."""
+    from .shuffleops import _broadcast_get
+
+    ref = ray.put(bloom)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        bf = _broadcast_get(ref)
+        df = df.copy()
+        df["definitely_new"] = ~bf.contains(df[col].tolist())
+        return df
+
+    return new_ds.map_batches(_tag, batch_format="pandas")
