@@ -467,3 +467,35 @@ def _unigram_gate(max_logloss: float = 12.0, text_col: str = "text") -> Stage:
         return join_on_key(ds, keepers, "doc_id", how="semi")
 
     return _s
+
+
+@register_stage("semdedup_gate")
+def _semdedup_gate(eps: float = 0.25, n_centroids: int = 8,
+                   seed: int = 42, dim: int = 256,
+                   num_buckets: int = 32) -> Stage:
+    """Semantic-dedup gate (SemDeDup, Abbas et al. 2023): hashed-tfidf
+    vectorize the text (model-free bridge), k-means-partition, prune
+    within-cluster cosine near-dups keeping the lowest-centroid-sim
+    member, then semi-join the keep set back onto the docs.  Composes
+    ``hashed_tfidf_vectors → semdedup → join_on_key`` — all bucketed,
+    nothing driver-side."""
+    from ..stages.dedup import semdedup
+    from ..stages.shuffleops import join_on_key
+    from ..stages.similarity import hashed_tfidf_vectors
+
+    def _s(ds, ctx):
+        vecs = hashed_tfidf_vectors(ds, text_col="text", id_col="doc_id",
+                                    dim=dim)
+        verdicts = semdedup(vecs, eps=eps, n_centroids=n_centroids,
+                            seed=seed)
+
+        def _keepers(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"doc_id": t.filter(t.column("keep")).column("vec_id")})
+
+        keepers = verdicts.map_batches(_keepers, batch_format="pyarrow")
+        return join_on_key(ds, keepers, "doc_id", num_buckets, how="semi")
+
+    return _s

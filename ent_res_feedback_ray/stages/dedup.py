@@ -1118,3 +1118,99 @@ def bloom_novelty_split(new_ds: ray.data.Dataset, col: str,
         return df
 
     return new_ds.map_batches(_tag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# k-means-partition the embedding space, then prune within-cluster semantic
+# duplicates (cosine ≥ 1-eps), keeping per duplicate set the example with
+# the LOWEST similarity to its cluster centroid (the paper's keep rule —
+# retain the "hardest" representative).
+# ---------------------------------------------------------------------------
+
+def semdedup(emb: ray.data.Dataset, eps: float = 0.55,
+             n_centroids: int = 8, seed: int = 42,
+             num_buckets: int = 8) -> ray.data.Dataset:
+    """SemDeDup over an embedding Dataset (``vec_id``, ``embedding``):
+
+    1. coarse k-means (``train_centroids`` — bounded init, partial-sum
+       reduce; the IVF quantizer reused as the paper's clustering step),
+    2. per-batch hard assignment to the nearest centroid (+ centroid_sim),
+    3. ONE hash-bucketed shuffle on ``cluster``; inside each cluster a
+       single GEMM gives the pairwise-cosine matrix, rows ordered by
+       (centroid_sim asc, vec_id) so the triangular mask
+       ``any(S[:i, i] ≥ 1-eps)`` drops exactly the higher-centroid-sim
+       member of every duplicate pair (paper §3: keep low centroid-sim).
+
+    Output columns: ``vec_id``, ``cluster``, ``centroid_sim``, ``keep``.
+    Partitioning assumption (documented, same as the IVF dedup path): one
+    k-means cluster fits a group — at corpus scale k grows with n so the
+    per-cluster GEMM stays bounded (the paper uses k≈110k for LAION).
+    Rows-only semantics (k-means is not SQL-expressible); pytest pins
+    determinism, planted-duplicate recovery, and the keep rule against
+    the exact ``embedding_dup_pairs`` oracle."""
+    from .shuffleops import bucketed_group_apply
+    from .similarity import train_centroids
+
+    import ray as _ray
+
+    C = train_centroids(emb, k=n_centroids, n_iter=5, seed=seed)
+    cref = _ray.put(C)
+    thresh = 1.0 - eps
+
+    class Assign:
+        def __init__(self):
+            self.C = _ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                1e-12)
+            sims = Mn @ self.C.T
+            cluster = np.argmax(sims, axis=1)
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cluster": cluster.astype(np.int64),
+                "centroid_sim": sims[np.arange(len(cluster)), cluster],
+                "embedding": df["embedding"].to_numpy(),
+            })
+
+    assigned = emb.map_batches(Assign, batch_format="pandas",
+                               concurrency=(1, 4), batch_size=2048)
+
+    def _prune(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, grp in g.groupby("cluster", sort=False):
+            order = np.lexsort((grp["vec_id"].to_numpy(np.int64),
+                                grp["centroid_sim"].to_numpy()))
+            grp = grp.iloc[order]
+            ids = grp["vec_id"].to_numpy(np.int64)
+            M = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                                1e-12)
+            S = Mn @ Mn.T
+            dup = np.triu(S >= thresh, k=1).any(axis=0)
+            parts.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": grp["cluster"].to_numpy(np.int64),
+                "centroid_sim": grp["centroid_sim"].to_numpy(),
+                "keep": ~dup,
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "vec_id": np.empty(0, np.int64),
+                "cluster": np.empty(0, np.int64),
+                "centroid_sim": np.empty(0, np.float64),
+                "keep": np.empty(0, np.bool_),
+            })
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_group_apply(assigned, "cluster", _prune,
+                                num_buckets=num_buckets)
+
+
+def semdedup_keep_set(sf_dir: str, eps: float = 0.55, n_centroids: int = 8,
+                      seed: int = 42) -> ray.data.Dataset:
+    """SemDeDup keep/drop verdicts over the ``embeddings`` table."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, eps=eps, n_centroids=n_centroids, seed=seed)

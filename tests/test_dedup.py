@@ -419,3 +419,72 @@ def test_incremental_minhash_dedup_verified_matches_bruteforce():
     planted = {1000 + i for i in range(12) if i % 3 == 0}
     assert not (planted & got)        # high-sim plants always verified+dropped
     assert got - expected == set()    # verify kills every LSH false positive
+
+
+def test_semdedup_planted_duplicates():
+    """SemDeDup recovers planted near-identical vectors: exactly one
+    survivor per duplicate set, and the survivor is the member with the
+    LOWEST centroid similarity (paper keep rule; ties break on vec_id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    d = 16
+    base = rng.normal(size=(20, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [base[i] for i in range(20)]
+    # plant a triple of near-duplicates of vector 0 (tiny distinct jitters)
+    for j in range(3):
+        v = base[0] + 1e-3 * (j + 1) * base[1]
+        vecs.append(v / np.linalg.norm(v))
+    emb = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = semdedup(ray.data.from_pandas(emb), eps=0.05, n_centroids=4,
+                   seed=42).to_pandas().sort_values("vec_id")
+    assert len(out) == len(vecs)
+    dup_ids = [0, 20, 21, 22]
+    dup = out[out["vec_id"].isin(dup_ids)]
+    # the planted set collapses to one cluster and exactly one survivor
+    assert dup["cluster"].nunique() == 1
+    assert int(dup["keep"].sum()) == 1
+    survivor = int(dup.loc[dup["keep"], "vec_id"].iloc[0])
+    assert survivor == int(dup.loc[dup["centroid_sim"].idxmin(), "vec_id"])
+    # non-duplicate vectors all survive
+    rest = out[~out["vec_id"].isin(dup_ids)]
+    assert rest["keep"].all()
+
+
+def test_semdedup_determinism_and_oracle_consistency(sf_dir):
+    """Same seed → identical keep set across runs; every dropped vector
+    has a kept within-cluster neighbor at cosine ≥ 1-eps (keep-rule
+    soundness), checked against exact cosines from the raw table."""
+    import numpy as np
+    import pandas as pd
+
+    from ent_res_feedback_ray.stages.dedup import semdedup_keep_set
+
+    eps = 0.55
+    a = semdedup_keep_set(sf_dir, eps=eps).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = semdedup_keep_set(sf_dir, eps=eps).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    raw = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    raw = raw.set_index("vec_id").loc[a["vec_id"].to_numpy()]
+    M = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    keep = a["keep"].to_numpy()
+    cluster = a["cluster"].to_numpy()
+    assert (~keep).sum() > 0, "fixture should contain semantic near-dups"
+    for i in np.nonzero(~keep)[0]:
+        mates = (cluster == cluster[i]) & keep
+        assert (S[i, mates] >= 1 - eps - 1e-9).any(), \
+            f"dropped vec {a['vec_id'][i]} has no kept neighbor"

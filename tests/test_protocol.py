@@ -259,3 +259,26 @@ def test_config_pipeline_salted_pairs_variant():
     assert sorted(out["doc_id"]) == list(range(6))
     with pytest.raises(ValueError):
         make_stage("pairs", salted=True, oversize_mode="sample")
+
+
+def test_semdedup_gate_stage():
+    """Config-registry semantic-dedup gate: exact text copies collapse to
+    the first occurrence; distinct docs pass through."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog"] * 3 + [
+            "completely different content about entity resolution",
+            "unrelated text about streaming dataflow engines",
+            "another unique document mentioning minhash bands"],
+    })
+    pipe = build_pipeline([
+        {"stage": "semdedup_gate", "eps": 0.05, "n_centroids": 2}])
+    out = pipe(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 3, 4, 5]
+    assert set(out.columns) == {"doc_id", "text"}
