@@ -409,6 +409,60 @@ def column_quantiles_sql(table: str, col: str,
     return "\nUNION ALL ".join(parts)
 
 
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    qs: "list[float]" = (0.25, 0.5, 0.75, 0.95, 0.99),
+    k: int = 4096,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """APPROXIMATE quantiles via a bottom-k hash-priority sample (Cohen &
+    Kaplan 2007 bottom-k sketches; public method) — the bounded-state,
+    shuffle-free alternative to the exact :func:`column_quantiles` sort:
+    each row gets priority ``splitmix64(row key)``, every batch keeps its k
+    lowest-priority (priority, value) rows, and the global bottom-k of
+    those survivors IS the global bottom-k of all rows — a uniform k-row
+    sample whose empirical quantiles estimate the truth with rank error
+    ~sqrt(q(1-q)/k) (≈0.8% at the default k=4096; pinned in tests).
+
+    Deterministic AND partition-invariant: the priority is a pure function
+    of the row key, and bottom-k is an order-free multiset reduce (same
+    guarantee style as the HLL register max).  The exchange is ≤ k rows per
+    input batch into one tiny sort — at 100 TB this replaces the exact
+    path's full range-partitioned sort when ~1% rank error is acceptable
+    (distribution monitoring, length/quality histogram gates).  Exactly-k
+    assumption: ``id_col`` values are unique rows keys (the engine's doc /
+    vec / order ids)."""
+    import math
+
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col]
+        if ids.dtype.kind in "iu":
+            h = splitmix64(ids.to_numpy(np.int64), seed=seed)
+        else:
+            h = splitmix64(fnv1a64(ids.astype(str).to_list()), seed=seed)
+        vals = df[col].to_numpy()
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+            h, vals = h[keep], vals[keep]
+        return pd.DataFrame({"__prio": h.astype(np.uint64),
+                             col: vals})
+
+    sample = ds.map_batches(_partial, batch_format="pandas") \
+        .sort("__prio").limit(k).to_pandas()
+    if col not in sample.columns or not len(sample):
+        return pd.DataFrame({"q": list(qs), col: [float("nan")] * len(qs)})
+    v = np.sort(sample[col].to_numpy())
+    m = len(v)
+    return pd.DataFrame({
+        "q": list(qs),
+        col: [v[int(math.floor(q * (m - 1)))] for q in qs],
+    })
+
+
 def group_topk(
     ds: ray.data.Dataset,
     key: str,

@@ -355,3 +355,95 @@ def hashed_tfidf_vectors(
         })
 
     return ds.map_batches(_vec, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over an embedding column — bounded-state second-moment
+# reduce (the classic covariance-method PCA; public linear algebra).
+# Dimensionality reduction ahead of the ANN / semantic-dedup operators:
+# project d-dim embeddings onto the top principal components so the
+# downstream GEMMs shrink ×(d/k) with minimal cosine distortion.
+# ---------------------------------------------------------------------------
+
+def embedding_pca(emb: ray.data.Dataset, n_components: int = 8,
+                  col: str = "embedding",
+                  num_shards: int = 16) -> dict:
+    """Fit PCA with ONE streaming pass: per-shard partials (count, sum
+    vector, X^T X — d²+d+1 doubles each, independent of row count) merged
+    in a tree of Ray tasks; the driver receives a single d×d moment
+    matrix and runs ``eigh`` on it.  Deterministic sign convention (the
+    largest-|w| coordinate of every component is made positive) so the fit
+    is partition-invariant (pinned).  Returns ``{"mean": [d],
+    "components": [k, d], "explained_var": [k]}``.
+
+    At 100 TB: the exchange is num_shards × (d²+d+1) doubles — nothing
+    scales with rows; d is the embedding width (≤ a few thousand), so the
+    driver eigh is milliseconds."""
+    import ray as _ray
+
+    @_ray.remote
+    def _partial(shard_refs):
+        n, s, xtx = 0, None, None
+        for r in shard_refs:
+            t = _ray.get(r)
+            X = np.stack(t.column(col).to_pylist()).astype(np.float64)
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            xtx = X.T @ X if xtx is None else xtx + X.T @ X
+        return n, s, xtx
+
+    @_ray.remote
+    def _merge(*parts):
+        parts = [p for p in parts if p[0]]
+        n = sum(p[0] for p in parts)
+        s = np.sum([p[1] for p in parts], axis=0)
+        xtx = np.sum([p[2] for p in parts], axis=0)
+        return n, s, xtx
+
+    refs = emb.select_columns([col]).to_arrow_refs()
+    shards = [refs[i::num_shards] for i in range(num_shards)]
+    parts = [_partial.remote(s) for s in shards if s]
+    while len(parts) > 1:
+        parts = [_merge.remote(*parts[i:i + 8])
+                 for i in range(0, len(parts), 8)]
+    n, s, xtx = _ray.get(parts[0])
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 rows")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    w, V = np.linalg.eigh(cov)              # ascending eigenvalues
+    order = np.argsort(-w)[:n_components]
+    comps = V[:, order].T                   # [k, d]
+    # deterministic sign: largest-|coordinate| entry positive per component
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    return {"mean": mean, "components": comps,
+            "explained_var": np.maximum(w[order], 0.0)}
+
+
+def pca_transform(emb: ray.data.Dataset, pca: dict,
+                  id_col: str = "vec_id",
+                  col: str = "embedding") -> ray.data.Dataset:
+    """Project embeddings onto fitted components — output keeps the
+    (vec_id, embedding) schema the ANN / dedup kernels consume, so
+    ``pca_transform(emb, embedding_pca(emb)) → ann_topk / semdedup`` is a
+    drop-in reduced-dimension pipeline.  The (mean, components) pair ships
+    ONCE via ray.put."""
+    import ray as _ray
+
+    from .shuffleops import _broadcast_get
+
+    ref = _ray.put((pca["mean"], pca["components"]))
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        mean, W = _broadcast_get(ref)
+        X = np.stack(df[col].to_numpy()).astype(np.float64)
+        Z = (X - mean) @ W.T
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            col: list(Z),
+        })
+
+    return emb.map_batches(_proj, batch_format="pandas",
+                           batch_size=2048)

@@ -404,3 +404,44 @@ def test_unigram_logloss_orders_boilerplate_below_gibberish():
     out = unigram_logloss(ray.data.from_pandas(df)).to_pandas() \
         .set_index("doc_id")["logloss"]
     assert out[0] < out[10] < out[11]   # boilerplate < mixed < gibberish
+
+
+def test_approx_quantiles_rank_error_and_invariance():
+    """Bottom-k priority-sample quantiles: partition-invariant (bottom-k
+    is an order-free multiset reduce) and within the sketch's rank-error
+    bound of the exact order statistics."""
+    from ent_res_feedback_ray.stages.shuffleops import approx_quantiles
+
+    n, k = 50_000, 2048
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "v": np.sqrt(np.arange(n, dtype=np.float64)),  # skewed but known
+    })
+    qs = [0.1, 0.5, 0.9, 0.99]
+    a = approx_quantiles(ray.data.from_pandas(df), "v", "rid", qs=qs, k=k)
+    b = approx_quantiles(ray.data.from_pandas(df).repartition(13), "v",
+                         "rid", qs=qs, k=k)
+    assert a["v"].tolist() == b["v"].tolist()
+    # rank error: position of the estimate in the TRUE sorted data must be
+    # within 5·sqrt(q(1-q)/k) of q (≈5σ of the sampling error)
+    v_sorted = np.sort(df["v"].to_numpy())
+    for q, est in zip(a["q"], a["v"]):
+        rank = np.searchsorted(v_sorted, est) / (n - 1)
+        tol = 5 * np.sqrt(max(q * (1 - q), 1e-4) / k)
+        assert abs(rank - q) <= tol, (q, rank, tol)
+
+
+def test_approx_quantiles_string_ids_and_empty():
+    from ent_res_feedback_ray.stages.shuffleops import approx_quantiles
+
+    df = pd.DataFrame({"rid": [f"id-{i}" for i in range(500)],
+                       "v": np.arange(500, dtype=np.int64)})
+    out = approx_quantiles(ray.data.from_pandas(df), "v", "rid",
+                           qs=[0.0, 1.0], k=500)
+    # k == n → the sample is exhaustive → exact extremes
+    assert out["v"].tolist() == [0, 499]
+    empty = approx_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"rid": pd.Series([], dtype=np.int64),
+                                           "v": pd.Series([], dtype=float)})),
+        "v", "rid", qs=[0.5])
+    assert np.isnan(empty["v"]).all()
