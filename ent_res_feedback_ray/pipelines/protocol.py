@@ -499,3 +499,25 @@ def _semdedup_gate(eps: float = 0.25, n_centroids: int = 8,
         return join_on_key(ds, keepers, "doc_id", num_buckets, how="semi")
 
     return _s
+
+
+@register_stage("dsir_select")
+def _dsir_select(target_path: str, k: int, seed: int = 17,
+                 gumbel_scale: float = 1.0,
+                 num_buckets: int = 32) -> Stage:
+    """DSIR importance-resampling gate (Xie et al. 2023): score docs by
+    the hashed-unigram log ratio against the target-domain parquet at
+    ``target_path`` (columns doc_id, text), Gumbel-top-k select, semi-join
+    the winners back onto the stream."""
+    from ..stages.curation import dsir_select
+    from ..stages.shuffleops import join_on_key
+
+    def _s(ds, ctx):
+        target = ray.data.read_parquet(target_path,
+                                       columns=["doc_id", "text"])
+        sel = dsir_select(ds, target, k=k, seed=seed,
+                          gumbel_scale=gumbel_scale) \
+            .select_columns(["doc_id"])
+        return join_on_key(ds, sel, "doc_id", num_buckets, how="semi")
+
+    return _s

@@ -625,3 +625,116 @@ SELECT v.doc_id,
        CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_paras_dropped
 FROM verdict v LEFT JOIN red r USING (doc_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169; public method): score every raw doc by the hashed-
+# unigram log importance ratio between a TARGET-domain sample and the raw
+# corpus, then resample with seeded Gumbel-top-k.
+# ---------------------------------------------------------------------------
+
+def dsir_importance_weights(
+    raw_docs: ray.data.Dataset,
+    target_docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc mean hashed-unigram log importance ratio
+    ``mean_tok [ln p_target(tok) − ln p_raw(tok)]`` — positive when a doc
+    looks more like the target sample than like the raw corpus.  Both
+    unigram LMs are the range-sharded term-frequency tables from
+    stages/tokendf.py (the vocabulary never lands on the driver); the
+    scoring pass is one stateless map with two searchsorted lookups per
+    token.  Mean (not sum) over tokens so variable-length web docs are
+    comparable — the paper scores fixed-length chunks; declared
+    adaptation.  Smoothing: a token absent from a table counts 1 (the
+    lookup floor — add-one-style, deterministic).  Output (doc_id,
+    n_tokens, logweight; NaN for empty docs)."""
+    import ray as _ray
+
+    from .normalize import normalize_stage
+    from .shuffleops import _broadcast_get
+    from .tokendf import build_token_df, resolve_view, token_hashes
+
+    raw_norm = normalize_stage(raw_docs.select_columns([id_col, text_col])) \
+        .select_columns([id_col, "norm_text"])
+    tgt_norm = normalize_stage(
+        target_docs.select_columns([id_col, text_col])) \
+        .select_columns([id_col, "norm_text"])
+    tf_raw = build_token_df(raw_norm, min_df=1, distinct_per_doc=False)
+    tf_tgt = build_token_df(tgt_norm, min_df=1, distinct_per_doc=False)
+
+    @_ray.remote
+    def _total(*shards) -> int:
+        return int(sum(int(s[1].sum()) for s in shards))
+
+    totals_ref = (_total.remote(*tf_raw.refs), _total.remote(*tf_tgt.refs))
+    handles_ref = _ray.put((tf_raw, tf_tgt))
+
+    def _score(t: pa.Table) -> pa.Table:
+        raw_view = resolve_view(_broadcast_get(handles_ref)[0])
+        tgt_view = resolve_view(_broadcast_get(handles_ref)[1])
+        tot_raw = float(_broadcast_get(totals_ref[0]))
+        tot_tgt = float(_broadcast_get(totals_ref[1]))
+        norms = t.column("norm_text").to_pylist()
+        n = len(norms)
+        tok_lists = [(s or "").split() for s in norms]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+        out = np.full(n, np.nan)
+        m = int(lens.sum())
+        if m:
+            from itertools import chain
+
+            th = token_hashes(list(chain.from_iterable(tok_lists)))
+            lr = (np.log(tgt_view.lookup_hashes(th) / tot_tgt)
+                  - np.log(raw_view.lookup_hashes(th) / tot_raw))
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            sums = np.zeros(n, np.float64)
+            np.add.at(sums, doc, lr)
+            with np.errstate(invalid="ignore"):
+                out = np.where(lens > 0, sums / np.maximum(lens, 1), np.nan)
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "logweight": pa.array(np.round(out, 9), pa.float64(),
+                                  from_pandas=True),
+        })
+
+    return raw_norm.map_batches(_score, batch_format="pyarrow")
+
+
+def dsir_select(
+    raw_docs: ray.data.Dataset,
+    target_docs: ray.data.Dataset,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 17,
+    gumbel_scale: float = 1.0,
+) -> ray.data.Dataset:
+    """Gumbel-top-k importance resampling (the DSIR selection step):
+    selection key = logweight + scale·Gumbel(seeded by doc_id) — sampling
+    ∝ exp(logweight/scale) WITHOUT normalizing constants or a second
+    pass; ``gumbel_scale=0`` degrades to deterministic top-k.  The noise
+    is a pure function of (doc_id, seed) so the draw is deterministic and
+    partition-invariant.  One global sort → limit(k); output (doc_id,
+    n_tokens, logweight) of the selected docs."""
+    from ..functions.hashing import splitmix64
+
+    w = dsir_importance_weights(raw_docs, target_docs, text_col=text_col,
+                                id_col=id_col)
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if gumbel_scale > 0:
+            u = (splitmix64(df[id_col].to_numpy(np.int64), seed=seed)
+                 .astype(np.float64) + 0.5) / 2.0 ** 64
+            df["__key"] = df["logweight"] + gumbel_scale * -np.log(-np.log(u))
+        else:
+            df["__key"] = df["logweight"]
+        return df
+
+    keyed = w.map_batches(_key, batch_format="pandas")
+    return keyed.sort(["__key", id_col], descending=[True, False]) \
+        .limit(k).drop_columns(["__key"])

@@ -253,3 +253,46 @@ FROM {table} d JOIN t ON d.{source_col} = t.src
 WHERE md5_number_lower(CAST(d.{id_col} AS VARCHAR) || '|mix{seed}')
       % {_MOD} * t.cnt < t.tgt * {_MOD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/test split: split by NEAR-DUP COMPONENT, not by doc
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(sf_dir: str,
+                       fractions: "dict[str, float] | None" = None,
+                       threshold: float = 0.5,
+                       method: str = "minhash",
+                       seed: int = 17) -> ray.data.Dataset:
+    """Train/test split where every near-duplicate CLUSTER lands whole on
+    one side — the split a training pipeline needs so eval rows are never
+    near-copies of training rows (doc-level hash splits leak: two
+    near-dups of the same page straddle the boundary ~2·p·(1−p) of the
+    time).  Composition: verified dup pairs → connected components →
+    hash-split on the COMPONENT id (md5, partition-invariant) — the
+    component labeling is ``neardup_components``' bounded-edge-list path
+    and the split itself is the existing ``hash_split_stage``, so nothing
+    new touches the exchange.  Output: (doc_id, dup_cluster_id, split).
+
+    ``method='ngram'`` uses the exact n-gram Jaccard pair source so the
+    DuckDB twin (:func:`leakage_safe_split_sql`) replays the whole
+    operator bit-exactly (pytest parity)."""
+    from .dedup import neardup_keep_set
+
+    fractions = fractions or {"train": 0.8, "test": 0.2}
+    comp = neardup_keep_set(sf_dir, threshold=threshold, method=method)
+    out = hash_split_stage(comp, id_col="dup_cluster_id",
+                           fractions=fractions, seed=seed)
+    return out.select_columns(["doc_id", "dup_cluster_id", "split"])
+
+
+def leakage_safe_split_sql(fractions: "dict[str, float] | None" = None,
+                           threshold: float = 0.5, seed: int = 17) -> str:
+    """DuckDB twin: the keep-set recursive-CTE component labeling wrapped
+    with the hash-split CASE on the component id."""
+    from .dedup import neardup_keep_set_sql
+
+    fractions = fractions or {"train": 0.8, "test": 0.2}
+    case = hash_split_sql_case("dup_cluster_id", fractions, seed=seed)
+    return (f"SELECT doc_id, dup_cluster_id, {case} AS split FROM "
+            f"({neardup_keep_set_sql(threshold)})")

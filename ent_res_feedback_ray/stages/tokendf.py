@@ -153,8 +153,14 @@ def _df_partial_batch(t: pa.Table, norm_col: str,
 @ray.remote
 def _slice_task(n_shards: int, tbl: pa.Table):
     """One partial block → its n_shards hash-range slices (numpy pairs)."""
-    h = tbl.column("tok_hash").to_numpy(zero_copy_only=False)
-    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    if "tok_hash" in tbl.column_names:
+        h = tbl.column("tok_hash").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+    else:
+        # a zero-row upstream block can arrive with an empty (column-less)
+        # schema — treat it as an empty partial
+        h = np.empty(0, np.int64)
+        c = np.empty(0, np.int64)
     sid = _shard_of(h, n_shards)
     order = np.argsort(sid, kind="stable")
     h, c, sid = h[order], c[order], sid[order]

@@ -333,3 +333,71 @@ def test_curate_corpus_every_arm_matches_composed_twin(tmp_path):
     assert byid.loc[2, "n_paras_dropped"] == 1
     assert "<EMAIL>" in byid.loc[3, "curated_text"]
     assert "someone@example.org" not in byid.loc[3, "curated_text"]
+
+
+def _dsir_corpora():
+    """Raw corpus = half 'science' vocab, half 'spam' vocab; target
+    sample = science-only.  DSIR must rank the science half higher."""
+    sci = ("quantum entanglement spectroscopy theorem lattice boson "
+           "manifold tensor eigenvalue proof").split()
+    spam = ("click free winner prize offer deal buy now cheap "
+            "subscribe").split()
+    rng = np.random.default_rng(11)
+    raw = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(rng.choice(sci if i < 20 else spam, size=30))
+                 for i in range(40)],
+    })
+    target = pd.DataFrame({
+        "doc_id": np.arange(1000, 1010, dtype=np.int64),
+        "text": [" ".join(rng.choice(sci, size=30)) for _ in range(10)],
+    })
+    return raw, target
+
+
+def test_dsir_weights_separate_domains_and_are_partition_invariant():
+    from ent_res_feedback_ray.stages.curation import dsir_importance_weights
+
+    raw, target = _dsir_corpora()
+    w = dsir_importance_weights(
+        ray.data.from_pandas(raw), ray.data.from_pandas(target)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    w2 = dsir_importance_weights(
+        ray.data.from_pandas(raw).repartition(7),
+        ray.data.from_pandas(target).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert w["logweight"].tolist() == w2["logweight"].tolist()
+    sci_w = w.loc[w["doc_id"] < 20, "logweight"]
+    spam_w = w.loc[w["doc_id"] >= 20, "logweight"]
+    # every science doc outranks every spam doc in this clean separation
+    assert sci_w.min() > spam_w.max()
+    assert (sci_w > 0).all() and (spam_w < 0).all()
+    assert (w["n_tokens"] == 30).all()
+
+
+def test_dsir_select_enriches_target_and_is_deterministic():
+    from ent_res_feedback_ray.stages.curation import dsir_select
+
+    raw, target = _dsir_corpora()
+    sel = dsir_select(ray.data.from_pandas(raw),
+                      ray.data.from_pandas(target), k=15,
+                      seed=17).to_pandas()
+    sel2 = dsir_select(ray.data.from_pandas(raw).repartition(5),
+                       ray.data.from_pandas(target), k=15,
+                       seed=17).to_pandas()
+    assert sel["doc_id"].tolist() == sel2["doc_id"].tolist()
+    assert len(sel) == 15
+    # heavy target enrichment (noise-free top-k would be 15/15 science;
+    # gumbel at scale 1 may admit a stray spam doc on a 40-doc corpus)
+    assert (sel["doc_id"] < 20).sum() >= 13
+    # scale→0 degrades to exact top-k by weight: all-science selection
+    hard = dsir_select(ray.data.from_pandas(raw),
+                       ray.data.from_pandas(target), k=15,
+                       gumbel_scale=0.0).to_pandas()
+    assert (hard["doc_id"] < 20).all()
+    # a different seed reshuffles the gumbel draw (weights unchanged)
+    other = dsir_select(ray.data.from_pandas(raw),
+                        ray.data.from_pandas(target), k=15,
+                        seed=99).to_pandas()
+    assert set(other["doc_id"]) != set(sel["doc_id"]) or \
+        other["doc_id"].tolist() != sel["doc_id"].tolist()

@@ -282,3 +282,35 @@ def test_semdedup_gate_stage():
     out = pipe(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [0, 3, 4, 5]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dsir_select_stage(tmp_path):
+    """Config-registry DSIR gate: target-domain docs survive, off-domain
+    docs are resampled away (gumbel_scale=0 → exact top-k)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    sci = "quantum lattice tensor eigenvalue manifold proof".split()
+    spam = "click free winner prize buy now".split()
+    rng = np.random.default_rng(5)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [" ".join(rng.choice(sci if i < 10 else spam, size=20))
+                 for i in range(20)],
+    })
+    target = pd.DataFrame({
+        "doc_id": np.arange(500, 505, dtype=np.int64),
+        "text": [" ".join(rng.choice(sci, size=20)) for _ in range(5)],
+    })
+    tp = str(tmp_path / "target.parquet")
+    target.to_parquet(tp)
+    pipe = build_pipeline([
+        {"stage": "dsir_select", "target_path": tp, "k": 8,
+         "gumbel_scale": 0.0}])
+    out = pipe(ray.data.from_pandas(docs)).to_pandas()
+    assert len(out) == 8
+    assert (out["doc_id"] < 10).all()
+    assert set(out.columns) == {"doc_id", "text"}

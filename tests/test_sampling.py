@@ -250,3 +250,32 @@ def test_source_mixture_sample_drops_unlisted_sources():
                                 {"a": 1, "b": 1}).to_pandas()
     assert set(out["source"]) <= {"a", "b"}
     assert len(out[out["source"] == "a"]) == 100  # binding source kept whole
+
+
+def test_leakage_safe_split_matches_duckdb_and_never_splits_a_cluster():
+    """Near-dup components land whole on one side (zero leakage pairs);
+    the ngram-source variant is replayed bit-exactly by its DuckDB twin."""
+    import duckdb
+    import numpy as np
+
+    from ent_res_feedback_ray.stages.sampling import (
+        leakage_safe_split, leakage_safe_split_sql)
+
+    sf = "/root/testdata/sf0.001"
+    out = leakage_safe_split(sf, method="ngram").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(leakage_safe_split_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert out["dup_cluster_id"].tolist() == ora["dup_cluster_id"].tolist()
+    assert out["split"].tolist() == ora["split"].tolist()
+    # the property the operator exists for: one split per component
+    per_cluster = out.groupby("dup_cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # fixture actually has multi-doc components and both splits present
+    sizes = out.groupby("dup_cluster_id").size()
+    assert (sizes > 1).any()
+    assert set(out["split"]) == {"train", "test"}
