@@ -130,6 +130,15 @@ def run_curation(sf_dir: str, num_cpus: int) -> dict:
         read_table(sf_dir, "documents", columns=["doc_id", "text"])))
     timed("source_balanced_sample", lambda: source_balanced_sample(
         read_table(sf_dir, "documents", columns=["doc_id", "source"])))
+    timed("semdedup", lambda: dedup.semdedup_keep_set(sf_dir))
+
+    def _dsir():
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        # target = the first 5% of docs (deterministic bounded sample)
+        target = docs.sort("doc_id").limit(max(n_docs // 20, 10))
+        return curation.dsir_select(docs, target, k=max(n_docs // 4, 10))
+
+    timed("dsir_select", _dsir)
     timed("curate_corpus_e2e", lambda: curation.curate_corpus(sf_dir))
 
     from ent_res_feedback_ray.stages.packing import (

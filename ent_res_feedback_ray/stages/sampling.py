@@ -296,3 +296,50 @@ def leakage_safe_split_sql(fractions: "dict[str, float] | None" = None,
     case = hash_split_sql_case("dup_cluster_id", fractions, seed=seed)
     return (f"SELECT doc_id, dup_cluster_id, {case} AS split FROM "
             f"({neardup_keep_set_sql(threshold)})")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: exact k per stratum, deterministic hash priority
+# ---------------------------------------------------------------------------
+
+def stratified_sample(ds: ray.data.Dataset, stratum_col: str,
+                      id_col: str, k_per_stratum: int,
+                      seed: int = 17) -> ray.data.Dataset:
+    """EXACT-k-per-stratum sample (stratified random sampling over stored
+    data): every stratum contributes its ``k`` lowest-md5-priority rows —
+    deterministic, partition-invariant (priority is a pure row-key
+    function), and DuckDB-replayable (``row_number() OVER (PARTITION BY
+    stratum ORDER BY md5)`` — :func:`stratified_sample_sql`).  One
+    bucketed shuffle via ``group_topk`` with its map-side prune; per-batch
+    cost is one md5 pass.  Unlike Bernoulli-per-row sampling the per-
+    stratum count is exact, so small strata are never starved — the
+    property a data-mixing pipeline needs when a rare source must keep
+    a quorum."""
+    from .shuffleops import group_topk
+
+    def _prio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__prio"] = md5_mod(
+            [f"{v}|{seed}" for v in df[id_col]], mod=1 << 62)
+        return df
+
+    keyed = ds.map_batches(_prio, batch_format="pandas")
+    out = group_topk(keyed, key=stratum_col, order_col="__prio",
+                     k=k_per_stratum, descending=False,
+                     tie_cols=[id_col])
+    return out.drop_columns(["__prio"])
+
+
+def stratified_sample_sql(table: str, stratum_col: str, id_col: str,
+                          k_per_stratum: int, seed: int = 17,
+                          cols: str = "*") -> str:
+    """DuckDB twin: same md5 priority, same per-stratum rank."""
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum_col}
+    ORDER BY md5_number_lower(CAST({id_col} AS VARCHAR) || '|{seed}')
+             % {1 << 62}, {id_col}) AS __rn
+  FROM {table}
+) WHERE __rn <= {k_per_stratum}
+""".strip()

@@ -279,3 +279,36 @@ def test_leakage_safe_split_matches_duckdb_and_never_splits_a_cluster():
     sizes = out.groupby("dup_cluster_id").size()
     assert (sizes > 1).any()
     assert set(out["split"]) == {"train", "test"}
+
+
+def test_stratified_sample_matches_duckdb_and_exact_counts():
+    """Exact k per stratum, partition-invariant, DuckDB-replayable."""
+    import duckdb
+
+    from ent_res_feedback_ray.stages.sampling import (
+        stratified_sample, stratified_sample_sql)
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    out = stratified_sample(docs, "source", "doc_id", k_per_stratum=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = stratified_sample(docs.repartition(9), "source", "doc_id",
+                             k_per_stratum=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(stratified_sample_sql(
+        "documents", "source", "doc_id", 5, cols="doc_id, source")) \
+        .df().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert out["source"].tolist() == ora["source"].tolist()
+    # exact per-stratum counts: min(k, stratum size)
+    full = con.execute(
+        "SELECT source, count(*) AS n FROM documents GROUP BY source").df()
+    got = out.groupby("source").size()
+    for _, row in full.iterrows():
+        assert got.get(row["source"], 0) == min(5, row["n"])
