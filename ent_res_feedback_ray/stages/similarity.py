@@ -191,25 +191,27 @@ def train_centroids(emb: ray.data.Dataset, k: int = 10, n_iter: int = 10,
     _, M = _normalized_matrix(sample)
     rng = np.random.default_rng(seed)
     centroids = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
+    from .shuffleops import _broadcast_get
+
     for _ in range(n_iter):
         cref = ray.put(centroids)
 
-        class Partial:
-            def __init__(self):
-                self.C = ray.get(cref)
+        def _partial(df: pd.DataFrame, _cref=cref) -> pd.DataFrame:
+            # stateless task (not an actor pool): per-iteration actor
+            # startup cost exceeded the assignment work itself; the
+            # centroid table ships once per worker via the broadcast cache
+            C = _broadcast_get(_cref)
+            _, X = _normalized_matrix(df)
+            assign = np.argmax(X @ C.T, axis=1)
+            out = []
+            for c in np.unique(assign):
+                sel = X[assign == c]
+                out.append({"centroid": int(c), "count": len(sel),
+                            "vecsum": sel.sum(axis=0).tolist()})
+            return pd.DataFrame(out)
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                _, X = _normalized_matrix(df)
-                assign = np.argmax(X @ self.C.T, axis=1)
-                out = []
-                for c in np.unique(assign):
-                    sel = X[assign == c]
-                    out.append({"centroid": int(c), "count": len(sel),
-                                "vecsum": sel.sum(axis=0).tolist()})
-                return pd.DataFrame(out)
-
-        parts = emb.map_batches(Partial, batch_format="pandas",
-                                batch_size=2048, concurrency=(1, 2)).to_pandas()
+        parts = emb.map_batches(_partial, batch_format="pandas",
+                                batch_size=4096).to_pandas()
         new_c = centroids.copy()
         for c in range(len(centroids)):
             rows = parts[parts["centroid"] == c]
