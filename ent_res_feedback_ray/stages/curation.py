@@ -561,7 +561,12 @@ def curate_corpus(sf_dir: str, n: int = 13, bench_mod: int = 17
         lambda df: df.loc[df["drop_stage"] == "", ["doc_id"]],
         batch_format="pandas")
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    kept_docs = join_on_key(docs, kept_ids, "doc_id", how="semi")
+    # materialize: paragraph_dedup consumes its input TWICE (paragraph
+    # election + rebuild join) — without a checkpoint the semi-join
+    # shuffle would execute twice.  Blocks live in plasma and spill; the
+    # kept corpus is the pipeline's output size, not an amplification.
+    kept_docs = join_on_key(docs, kept_ids, "doc_id", how="semi") \
+        .materialize()
     rebuilt = paragraph_dedup(kept_docs)                  # doc_id,text,n_paras,n_dropped
     red = redact_pii(rebuilt.select_columns(["doc_id", "text", "n_dropped"]))
 

@@ -475,7 +475,9 @@ def paragraph_dedup(
 
     return join_on_key(docs.select_columns([id_col, text_col]),
                        drops.union(sentinel), id_col, num_buckets,
-                       apply_fn=_rebuild, left_cols=[id_col, text_col])
+                       apply_fn=_rebuild,
+                       left_fields=[(id_col, np.int64), (text_col, object)],
+                       right_fields=[(id_col, np.int64), ("idx", np.int64)])
 
 
 def paragraph_dedup_docs(sf_dir: str) -> ray.data.Dataset:
@@ -614,7 +616,10 @@ def span_dedup(
     # drop-list join and the per-doc rebuild share ONE shuffle
     return join_on_key(docs.select_columns([id_col, text_col]),
                        drops.union(sentinel_d), id_col, num_buckets,
-                       apply_fn=_rebuild, left_cols=[id_col, text_col])
+                       apply_fn=_rebuild,
+                       left_fields=[(id_col, np.int64), (text_col, object)],
+                       right_fields=[(id_col, np.int64),
+                                     ("start", np.int64)])
 
 
 # ---------------------------------------------------------------------------
@@ -866,7 +871,9 @@ def incremental_exact_dedup(new_docs: ray.data.Dataset,
         return part.loc[keep, ["doc_id", "fingerprint"]]
 
     return join_on_key(keyed, seen_fps, "fingerprint", num_buckets,
-                       how="anti", apply_fn=_first_per_fp)
+                       how="anti", apply_fn=_first_per_fp,
+                       left_fields=[("doc_id", np.int64),
+                                    ("fingerprint", object)])
 
 
 def incremental_exact_dedup_split(sf_dir: str, cutoff: int = 250
@@ -966,7 +973,9 @@ def incremental_minhash_dedup(
 
     if old_docs is None:
         collided = join_on_key(new_bands, store.select_columns(["band_key"]),
-                               "band_key", num_buckets, how="semi")
+                               "band_key", num_buckets, how="semi",
+                               left_fields=[("band_key", np.int64),
+                                            ("doc_id", np.int64)])
         # no distinct needed: the anti-join below only asks "has a match"
         dropped = collided.select_columns(["doc_id"])
     else:

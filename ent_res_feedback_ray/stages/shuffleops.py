@@ -155,6 +155,8 @@ def join_on_key(
     how: str = "left",
     apply_fn=None,
     left_cols: list[str] | None = None,
+    left_fields: list[tuple] | None = None,
+    right_fields: list[tuple] | None = None,
 ) -> ray.data.Dataset:
     """Bucketed cogroup equi-join of two datasets on ``key`` — ONE shuffle
     of the tagged union, per-bucket C-speed pandas merge.  Doc-level
@@ -172,13 +174,33 @@ def join_on_key(
     Ray's schema inference can misreport a select_columns() schema as the
     PRE-projection columns once upstream filters have emitted empty
     (schema-less) blocks, and a phantom column in ``lcols`` would make
-    the tagger raise on every real block."""
-    lsch, rsch = left.schema(), right.schema()
-    lcols = list(left_cols) if left_cols is not None else list(lsch.names)
-    rcols = [c for c in rsch.names if c != key]
-    l_ph = {c: _placeholder_value(t) for c, t in zip(lsch.names, lsch.types)
-            if c in lcols}
-    r_ph = {c: _placeholder_value(t) for c, t in zip(rsch.names, rsch.types)}
+    the tagger raise on every real block.
+
+    ``left_fields`` / ``right_fields`` — [(name, dtype-like), ...] —
+    declare a side's schema up front and SKIP the ``.schema()`` probe:
+    on a lazy map_batches lineage Ray's schema inference executes the
+    whole upstream plan for one row (a limit-1 run including any sorts),
+    so a caller that already knows its columns should always pass these.
+    For ``how`` in ("semi", "anti") the right side contributes only the
+    key, so its probe is skipped automatically."""
+    if left_fields is not None:
+        lcols = [c for c, _ in left_fields]
+        l_ph = {c: _placeholder_value(t) for c, t in left_fields}
+    else:
+        lsch = left.schema()
+        lcols = list(left_cols) if left_cols is not None else list(lsch.names)
+        l_ph = {c: _placeholder_value(t)
+                for c, t in zip(lsch.names, lsch.types) if c in lcols}
+    if right_fields is not None:
+        rcols = [c for c, _ in right_fields if c != key]
+        r_ph = {c: _placeholder_value(t) for c, t in right_fields}
+    elif how in ("semi", "anti"):
+        rcols, r_ph = [], {}
+    else:
+        rsch = right.schema()
+        rcols = [c for c in rsch.names if c != key]
+        r_ph = {c: _placeholder_value(t)
+                for c, t in zip(rsch.names, rsch.types)}
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
     def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
