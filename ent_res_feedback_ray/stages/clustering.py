@@ -287,9 +287,21 @@ def _incr_side_task(new_sorted, *blocks):
     """Assemble the (sorted old nodes, labels, new ids) broadcast tuple from
     the frozen-assignment dataset's Arrow blocks — in a worker, so the
     driver never materializes the O(docs) table (round-2 verdict item)."""
-    nodes = (np.concatenate([b.column("node").to_numpy() for b in blocks])
+    # a lineage whose map emitted zero rows can hand over EMPTY blocks with
+    # a column-less schema — they carry nothing, skip them (block layout is
+    # nondeterministic, so this only bites under some worker counts).
+    # Blocks may be Arrow tables or pandas frames depending on the lineage.
+    def _col(b, name):
+        return (b[name].to_numpy() if isinstance(b, pd.DataFrame)
+                else b.column(name).to_numpy())
+
+    def _names(b):
+        return b.columns if isinstance(b, pd.DataFrame) else b.schema.names
+
+    blocks = [b for b in blocks if "node" in _names(b)]
+    nodes = (np.concatenate([_col(b, "node") for b in blocks])
              if blocks else np.empty(0, np.int64)).astype(np.int64)
-    labels = (np.concatenate([b.column("label").to_numpy() for b in blocks])
+    labels = (np.concatenate([_col(b, "label") for b in blocks])
               if blocks else np.empty(0, np.int64)).astype(np.int64)
     order = np.argsort(nodes, kind="stable")
     return nodes[order], labels[order], np.asarray(new_sorted, np.int64)
