@@ -1090,7 +1090,8 @@ def bloom_build(ds: ray.data.Dataset, col: str, capacity: int,
         bf = BloomFilter(nb, kk, sd)
         for r in shard_refs:
             t = _ray.get(r)  # refs nested in a list are not auto-resolved
-            bf.add(t.column(col).to_pylist())
+            if t.num_rows and col in t.column_names:  # skip column-less
+                bf.add(t.column(col).to_pylist())     # empty blocks
         return bf.bits
 
     @_ray.remote

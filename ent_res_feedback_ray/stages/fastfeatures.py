@@ -324,6 +324,14 @@ def _sig_shard_task(id_col: str, norm_col: str,
         for lo in range(0, tbl.num_rows, 8192):
             chunks.append(_sig_batch(tbl.slice(lo, 8192), id_col, norm_col,
                                      lang_col, ts_col, have_ts))
+    if not chunks:
+        # a group of all-empty blocks (nondeterministic block layout):
+        # produce a typed empty shard instead of concat_tables([]) raising
+        chunks.append(_sig_batch(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      norm_col: pa.array([], pa.string()),
+                      lang_col: pa.array([], pa.string())}),
+            id_col, norm_col, lang_col, ts_col, False))
     sig = _assemble_shard(pa.concat_tables(chunks), have_ts)
     return sig.ids, sig
 

@@ -388,6 +388,8 @@ def embedding_pca(emb: ray.data.Dataset, n_components: int = 8,
         n, s, xtx = 0, None, None
         for r in shard_refs:
             t = _ray.get(r)
+            if not t.num_rows or col not in t.column_names:
+                continue  # column-less empty block from a lazy lineage
             X = np.stack(t.column(col).to_pylist()).astype(np.float64)
             n += len(X)
             s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
