@@ -280,7 +280,9 @@ def er_quality(sf_dir: str) -> pd.DataFrame:
             lambda df: pd.DataFrame({"id": df["doc_id"],
                                      "block": df["block_key"]}),
             batch_format="pandas"),
-        "id", how="inner")
+        "id", how="inner",
+        left_fields=[("id", np.int64), ("pred", object)],
+        right_fields=[("id", np.int64), ("block", object)])
     cm = pairwise_cmacro_dataset(pred_blocked, gold)
     return pd.DataFrame({
         "pair_precision": [m["pair_precision"]],
@@ -1484,7 +1486,14 @@ def facet_eval(sf_dir: str) -> pd.DataFrame:
         return part
 
     gold_sized = bucketed_group_apply(gold, "gold", _csize)
-    joined = join_on_key(pred, gold_sized, "doc_id")
+    joined = join_on_key(
+        pred, gold_sized, "doc_id",
+        left_fields=[("doc_id", np.int64), ("pred", object),
+                     ("lang", object), ("host", object),
+                     ("len_bucket", object), ("tok_bucket", object),
+                     ("month", object), ("name", object)],
+        right_fields=[("doc_id", np.int64), ("gold", np.int64),
+                      ("cluster_size", np.int64)])
 
     # per-block facets: block size + homonymity/synonymity fractions.
     # For doc i in block B: partners = |B|-1; homonyms = |{j: name_j=name_i,
@@ -1609,7 +1618,11 @@ def hac_cc_clusters(sf_dir: str, eps: float = 0.5) -> ray.data.Dataset:
         scored, include_trellis=True).map_batches(
         lambda df: df.rename(columns={"cluster_id": "cc_cluster_id"}),
         batch_format="pandas")
-    joined = join_on_key(hac, cc, "id")
+    joined = join_on_key(
+        hac, cc, "id",
+        left_fields=[("id", np.int64), ("cluster_id", object)],
+        right_fields=[("id", np.int64), ("cc_cluster_id", object),
+                      ("trellis_cluster_id", object)])
 
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

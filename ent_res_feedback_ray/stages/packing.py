@@ -207,7 +207,14 @@ def export_packed_corpus(
                             text_col=text_col, n_shards=n_shards,
                             seed=seed, method=method)
     wide = join_on_key(packed,
-                       docs.select_columns([id_col, text_col]), id_col)
+                       docs.select_columns([id_col, text_col]), id_col,
+                       left_fields=[(id_col, np.int64),
+                                    ("shard", np.int64),
+                                    ("pack_id", np.int64),
+                                    ("pack_pos", np.int64),
+                                    ("n_tokens", np.int64)],
+                       right_fields=[(id_col, np.int64),
+                                     (text_col, object)])
     miss_ref = _ray.put(frozenset(missing))
 
     def _only_missing(df: pd.DataFrame) -> pd.DataFrame:

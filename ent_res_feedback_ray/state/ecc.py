@@ -183,7 +183,12 @@ def compile_to_seeds(scored: ray.data.Dataset,
         qual = feats.map_batches(_qual, batch_format="pyarrow")
         # bucketed cogroup SEMI-join (qual doc ids are unique, so inner ==
         # semi); robust to empty partitions, unlike the Arrow hash join
-        best = (join_on_key(cand, qual, "other", num_buckets=8, how="inner")
+        best = (join_on_key(cand, qual, "other", num_buckets=8, how="inner",
+                            left_fields=[("id1", np.int64),
+                                         ("id2", np.int64),
+                                         ("score", np.float64),
+                                         ("other", np.int64)],
+                            right_fields=[("other", np.int64)])
                 .sort(["score", "id1", "id2"],
                       descending=[True, False, False]).limit(1).to_pandas())
         if len(best):
