@@ -279,6 +279,7 @@ def attach_attrs(
     attr_cols: list[str] | None = None,
     broadcast_limit: int = 2_000_000,
     num_buckets: int = 32,
+    pair_fields: list[tuple] | None = None,
 ) -> ray.data.Dataset:
     """Join doc attributes onto pair rows (id1, id2) — the engine's
     mentions⋈documents lookup (SURVEY.md §2.8).
@@ -292,11 +293,15 @@ def attach_attrs(
       through the blocking explosion (16× band write-amplification avoided).
     """
     attr_cols = attr_cols or [c for c in docs.schema().names if c != id_col]
-    n_docs = docs.count()
+    # ONE execution of the docs lineage: count(), the broadcast pull, and
+    # the two cogroup sides below all consume the SAME materialized blocks
+    # (previously count + to_pandas + two join sides each re-executed it)
+    proj = docs.select_columns([id_col, *attr_cols]).materialize()
+    n_docs = proj.count()
     if n_docs <= broadcast_limit:
         import ray as _ray
 
-        dim = docs.select_columns([id_col, *attr_cols]).to_pandas()
+        dim = proj.to_pandas()
         dim = dim.set_index(id_col)
         ref = _ray.put(dim)
 
@@ -336,18 +341,12 @@ def attach_attrs(
         return {"i": np.int64(0), "u": np.int64(0), "f": np.float64(0.0),
                 "b": False}.get(kind, "")
 
-    docs_schema = docs.schema()
+    docs_schema = proj.schema()  # free: proj is materialized
     doc_placeholder = {
         c: _placeholder_for(t) for c, t in zip(docs_schema.names, docs_schema.types)
     }
 
-    def _join_side(pair_ds, side: str):
-        pair_schema = pair_ds.schema()
-        pair_cols = list(pair_schema.names)
-        pair_placeholder = {
-            c: _placeholder_for(t) for c, t in zip(pair_schema.names,
-                                                   pair_schema.types)
-        }
+    def _join_side(pair_ds, side: str, pair_cols, pair_placeholder):
         doc_attr_tagged = [f"{c}{side}" for c in attr_cols]
         all_cols = pair_cols + [c for c in doc_attr_tagged if c not in pair_cols]
 
@@ -371,8 +370,7 @@ def attach_attrs(
             return out[all_cols + ["__node", "__is_doc"]]
 
         tagged_pairs = pair_ds.map_batches(_tag_pairs, batch_format="pandas")
-        tagged_docs = docs.select_columns([id_col, *attr_cols]).map_batches(
-            _tag_docs, batch_format="pandas")
+        tagged_docs = proj.map_batches(_tag_docs, batch_format="pandas")
 
         def _merge(part: pd.DataFrame, s=side) -> pd.DataFrame:
             d = part[part["__is_doc"]]
@@ -385,7 +383,23 @@ def attach_attrs(
         return bucketed_group_apply(
             tagged_pairs.union(tagged_docs), "__node", _merge, num_buckets)
 
-    return _join_side(_join_side(pairs, "1"), "2")
+    # side-1 pair schema: declared by the caller, else one probe of the
+    # pairs lineage; side-2's schema is DERIVED from side 1's output
+    # statically — probing it would re-execute the side-1 shuffle
+    if pair_fields is not None:
+        pair_cols1 = [c for c, _ in pair_fields]
+        ph1 = {c: _placeholder_for(t) for c, t in pair_fields}
+    else:
+        psch = pairs.schema()
+        pair_cols1 = list(psch.names)
+        ph1 = {c: _placeholder_for(t)
+               for c, t in zip(psch.names, psch.types)}
+    side1 = _join_side(pairs, "1", pair_cols1, ph1)
+    attr_ph = {c: doc_placeholder[c] for c in attr_cols}
+    pair_cols2 = pair_cols1 + [f"{c}1" for c in attr_cols
+                               if f"{c}1" not in pair_cols1]
+    ph2 = {**ph1, **{f"{c}1": attr_ph[c] for c in attr_cols}}
+    return _join_side(side1, "2", pair_cols2, ph2)
 
 
 def column_quantiles(
