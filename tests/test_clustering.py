@@ -110,3 +110,28 @@ def test_hac_block_clustering_dataset():
     assert by_id[3] != by_id[1]
     assert by_id[10] == by_id[11]
     assert by_id[1].startswith("b1_") and by_id[10].startswith("b2_")
+
+
+def test_incremental_assign_tolerates_columnless_empty_blocks():
+    # regression: a frozen-assignment lineage can deliver EMPTY blocks with
+    # a column-less schema (block layout is nondeterministic — the driver's
+    # sequential query run hit this; a lone er_incremental_clusters did not)
+    import pyarrow as pa
+
+    from ent_res_feedback_ray.stages.clustering import incremental_assign
+
+    existing = ray.data.from_arrow([
+        pa.table({"node": pa.array([1, 2], pa.int64()),
+                  "label": pa.array([10, 10], pa.int64())}),
+        pa.table({}),                       # zero columns, zero rows
+    ])
+    scored = ray.data.from_pandas(pd.DataFrame({
+        "id1": np.array([1, 2], np.int64),
+        "id2": np.array([3, 3], np.int64),
+        "score": [0.9, 0.8],
+    }))
+    new_ids = pd.DataFrame({"node": np.array([3], np.int64)})
+    out = incremental_assign(scored, existing, new_ids,
+                             threshold=0.5).to_pandas()
+    by = dict(zip(out["node"], out["label"]))
+    assert by[1] == by[2] == by[3] == 10
