@@ -147,7 +147,7 @@ def run_curation(sf_dir: str, num_cpus: int) -> dict:
     timed("shuffle_pack_export", lambda: pack_sequences(
         deterministic_shuffle(
             read_table(sf_dir, "documents", columns=["doc_id", "text"]),
-            method="splitmix"),
+            method="splitmix", cols=["doc_id", "text"]),
         budget=2048, n_shards=64, method="splitmix"))
 
     total = round(sum(timings.values()), 3)

@@ -58,6 +58,7 @@ def deterministic_shuffle(
     seed: int = 17,
     keep_hash: bool = False,
     method: str = "md5",
+    cols: "list[str] | None" = None,
 ) -> ray.data.Dataset:
     """Global deterministic shuffle: order rows by
     ``md5_number_lower(id || '|shuf{seed}')`` with the id as tie-break.
@@ -79,7 +80,9 @@ def deterministic_shuffle(
         .sort(["shuffle_hash", id_col])
     if keep_hash:
         return out
-    drop = [c for c in ds.schema().names]
+    # ``cols`` lets a caller with a lazy lineage skip the .schema() probe
+    # (which would execute the upstream plan for one row)
+    drop = list(cols) if cols is not None else list(ds.schema().names)
     return out.select_columns(drop)
 
 
