@@ -29,6 +29,16 @@ def _normalized_matrix(df: pd.DataFrame, id_col: str = "vec_id",
     return ids, M
 
 
+def _first_n_rows(ds: ray.data.Dataset, col: str, n: int) -> pd.DataFrame:
+    """The n smallest rows by ``col`` WITHOUT a global sort: per-batch
+    bottom-n (map-side prune) → bounded driver merge of ≤ n_blocks·n rows.
+    The former `sort(col).limit(n)` shape paid a full all-to-all range
+    shuffle of the table for a handful of query rows."""
+    part = ds.map_batches(lambda df: df.nsmallest(n, col),
+                          batch_format="pandas")
+    return part.to_pandas().nsmallest(n, col).reset_index(drop=True)
+
+
 def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     """Exact cosine top-k: queries = the first ``n_queries`` vectors by id;
     neighbors over the whole table (self excluded).  Output
@@ -40,7 +50,7 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.dat
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # query selection: sort + limit INSIDE the dataflow — only n_queries rows
     # reach the driver, never the table
-    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    qdf = _first_n_rows(emb, "vec_id", n_queries)
     qids, Q = _normalized_matrix(qdf)
     qref = ray.put((qids, Q))
 
@@ -115,7 +125,7 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     the exactness oracle)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # dim from ONE row; queries via sort+limit — no full-table driver pull
-    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    qdf = _first_n_rows(emb, "vec_id", n_queries)
     dim = len(qdf["embedding"].iloc[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -187,7 +197,7 @@ def train_centroids(emb: ray.data.Dataset, k: int = 10, n_iter: int = 10,
     BOUNDED sort+limit sample (first ~32k ids — never the whole table),
     then per-batch partial assignment + centroid sums with a driver reduce
     over k rows per batch.  Deterministic seeding."""
-    sample = emb.sort("vec_id").limit(max(32 * k, 1024)).to_pandas()
+    sample = _first_n_rows(emb, "vec_id", max(32 * k, 1024))
     _, M = _normalized_matrix(sample)
     rng = np.random.default_rng(seed)
     centroids = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
@@ -250,7 +260,7 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     ≥0.9 pinned by pytest)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     C = train_centroids(emb, k=n_centroids, n_iter=5, seed=seed)
-    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    qdf = _first_n_rows(emb, "vec_id", n_queries)
     qids, Q = _normalized_matrix(qdf)
     probed = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # [nq, nprobe]
     shared = ray.put((C, qids, Q, probed))
