@@ -175,8 +175,10 @@ def uncertain_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         s = b.column("score").to_numpy(zero_copy_only=False).astype(np.float64)
         return b.append_column("uncertainty", pa.array(np.abs(s - 0.5), pa.float64()))
 
+    from ..stages.shuffleops import bottom_k
+
     ds = sp.map_batches(_unc, batch_format="pyarrow")
-    out = ds.sort(["uncertainty", "id1", "id2"]).limit(k)
+    out = bottom_k(ds, ["uncertainty", "id1", "id2"], k)
     return out.select_columns(["id1", "id2", "score", "uncertainty"])
 
 

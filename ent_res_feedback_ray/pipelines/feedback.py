@@ -321,8 +321,10 @@ def run_feedback_rounds(
         unc = exclude_pairs_stage(unc, labels[["id1", "id2"]]
                                   if len(labels) else None)
         if k_per_round > 0:
-            topk = unc.sort(["uncertainty", "id1", "id2"]).limit(
-                2 * k_per_round).to_pandas()
+            from ..stages.shuffleops import bottom_k
+
+            topk = bottom_k(unc, ["uncertainty", "id1", "id2"],
+                            2 * k_per_round).to_pandas()
             # candidate pairs may repeat across LSH bands (dedup-free path)
             topk = topk.drop_duplicates(subset=["id1", "id2"], keep="first")
             topk = topk.head(k_per_round)
@@ -434,8 +436,10 @@ def train_e2e_on_blocks(
     def _trainable(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["n_docs"].between(3, max_block_docs)]
 
-    chosen = (sizes.map_batches(_trainable, batch_format="pandas")
-              .sort("block_key").limit(n_blocks).to_pandas())
+    from ..stages.shuffleops import bottom_k
+
+    chosen = bottom_k(sizes.map_batches(_trainable, batch_format="pandas"),
+                      ["block_key"], n_blocks).to_pandas()
     keys = set(chosen["block_key"])
     key_ref = ray.put(keys)
 

@@ -124,6 +124,23 @@ def distinct_values(ds: ray.data.Dataset, col: str,
     return bucketed_group_apply(ds, col, _distinct, num_buckets)
 
 
+def bottom_k(ds: ray.data.Dataset, cols: "list[str]", k: int
+             ) -> ray.data.Dataset:
+    """Global k smallest rows by lexicographic ``cols`` WITHOUT sorting the
+    table: per-batch ``nsmallest`` prune (map-side), then one Ray sort over
+    the surviving ≤ n_blocks·k rows.  Replaces the `sort(cols).limit(k)`
+    shape, whose all-to-all range shuffle moves the ENTIRE table for k
+    output rows.  Result is exactly ordered (nsmallest = lexicographic
+    sort_values + head)."""
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        if any(c not in df.columns for c in cols):   # column-less empty block
+            return df.iloc[0:0]
+        return df.nsmallest(k, cols)
+
+    return ds.map_batches(_prune, batch_format="pandas").sort(cols).limit(k)
+
+
 def _placeholder_value(t):
     """Neutral value of (arrow / numpy / python) type ``t`` for tagged-union
     schemas — placeholders never survive the merge."""
