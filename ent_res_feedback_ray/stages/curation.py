@@ -740,6 +740,13 @@ def dsir_select(
             df["__key"] = df["logweight"]
         return df
 
-    keyed = w.map_batches(_key, batch_format="pandas")
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side top-k prune (mixed order: key desc, id asc) — the final
+        # sort then ranges over ≤ n_blocks·k rows, not the whole corpus
+        return df.sort_values(["__key", id_col],
+                              ascending=[False, True]).head(k)
+
+    keyed = w.map_batches(_key, batch_format="pandas") \
+        .map_batches(_prune, batch_format="pandas")
     return keyed.sort(["__key", id_col], descending=[True, False]) \
         .limit(k).drop_columns(["__key"])
