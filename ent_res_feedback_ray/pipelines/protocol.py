@@ -521,3 +521,32 @@ def _dsir_select(target_path: str, k: int, seed: int = 17,
         return join_on_key(ds, sel, "doc_id", num_buckets, how="semi")
 
     return _s
+
+
+@register_stage("quality_model_gate")
+def _quality_model_gate(reference_path: str, dim: int = 256,
+                        pareto_alpha: float = 9.0, seed: int = 37,
+                        max_train_per_side: int = 10_000,
+                        num_buckets: int = 32) -> Stage:
+    """Model-based quality gate (GPT-3 Appendix-A classifier filter /
+    FineWeb-Edu family): train a logistic reference-vs-corpus classifier
+    over hashed-TF-IDF features (driver fit on a bounded seeded sample;
+    the model is dim+1 doubles), score every doc in an actor pool, keep
+    via the deterministic per-doc Pareto rule, semi-join survivors back
+    onto the stream.  ``reference_path``: parquet with (doc_id, text) of
+    the trusted reference set."""
+    from ..stages.curation import quality_model_gate, train_quality_classifier
+    from ..stages.shuffleops import join_on_key
+
+    def _s(ds, ctx):
+        reference = ray.data.read_parquet(reference_path,
+                                          columns=["doc_id", "text"])
+        model = train_quality_classifier(
+            ds, reference, dim=dim, seed=seed,
+            max_train_per_side=max_train_per_side)
+        kept = quality_model_gate(ds, model, dim=dim,
+                                  pareto_alpha=pareto_alpha, seed=seed) \
+            .select_columns(["doc_id"])
+        return join_on_key(ds, kept, "doc_id", num_buckets, how="semi")
+
+    return _s

@@ -750,3 +750,157 @@ def dsir_select(
         .map_batches(_prune, batch_format="pandas")
     return keyed.sort(["__key", id_col], descending=[True, False]) \
         .limit(k).drop_columns(["__key"])
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filter (public method: the GPT-3 paper's trained
+# quality classifier over reference-vs-corpus documents, Brown et al. 2020
+# Appendix A; same family as FineWeb-Edu's classifier gate).  Train on the
+# driver over a BOUNDED seeded sample — the reference's PairwiseModeler
+# train-driver / infer-distributed split (/root/reference/s2and/model.py:
+# 87-163) — then score every doc in an actor-pool map_batches.
+# ---------------------------------------------------------------------------
+
+def _seeded_doc_sample(ds: ray.data.Dataset, rate: float, seed: int,
+                       id_col: str) -> ray.data.Dataset:
+    """Deterministic Bernoulli doc sample on splitmix64(id) — partition-
+    invariant, no shuffle."""
+    from ..functions.hashing import splitmix64
+
+    if rate >= 1.0:
+        return ds
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        u = (splitmix64(df[id_col].to_numpy(np.int64), seed=seed)
+             .astype(np.float64) + 0.5) / 2.0 ** 64
+        return df[u < rate]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
+def train_quality_classifier(
+    corpus: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    max_train_per_side: int = 10_000,
+    seed: int = 31,
+):
+    """Fit a logistic quality classifier: reference docs (label 1) vs raw
+    corpus docs (label 0) over hashed-TF-IDF features.  Each side is
+    bounded to ``max_train_per_side`` rows by a seeded hash sample before
+    the driver pull (count once per side to pick the rate — bounded driver
+    state is the model (dim+1 doubles), never the corpus).  Returns the
+    fitted LogisticScorer (weights over the ``dim`` hashed buckets)."""
+    from ..functions.textnorm import normalize_text_array
+    from ..state.model import LogisticScorer
+    from .similarity import hashed_tf_matrix
+
+    def _side_matrix(ds: ray.data.Dataset, side_seed: int) -> np.ndarray:
+        n = ds.count()
+        rate = min(1.0, max_train_per_side / max(n, 1))
+        sub = _seeded_doc_sample(ds.select_columns([id_col, text_col]),
+                                 rate, side_seed, id_col)
+
+        def _vec(t: pa.Table) -> pa.Table:
+            norm = normalize_text_array(t.column(text_col)).to_pylist()
+            mat = hashed_tf_matrix(norm, dim)
+            return pa.table({"v": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), dim)})
+
+        df = sub.map_batches(_vec, batch_format="pyarrow").to_pandas()
+        if not len(df):
+            return np.zeros((0, dim), np.float64)
+        return np.stack(df["v"].to_numpy()).astype(np.float64)
+
+    Xn = _side_matrix(corpus, seed)
+    Xp = _side_matrix(reference, seed + 1)
+    X = np.concatenate([Xn, Xp])
+    y = np.concatenate([np.zeros(len(Xn)), np.ones(len(Xp))])
+    return LogisticScorer(seed=seed).fit(X, y)
+
+
+def quality_model_scores(
+    docs: ray.data.Dataset,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> ray.data.Dataset:
+    """Distributed inference: (doc_id, q_score) with q_score = the
+    classifier's P(reference | doc).  The model broadcasts once
+    (``ray.put`` in the caller-visible ref); each batch is one hashed
+    scatter + one GEMV."""
+    ref = ray.put((np.asarray(model.w, np.float64), float(model.b),
+                   float(model.nan_fill)))
+
+    class _Score:
+        def __init__(self):
+            from .shuffleops import _broadcast_get
+
+            self.w, self.b, self.nan_fill = _broadcast_get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..functions.textnorm import normalize_text_array
+            from .similarity import hashed_tf_matrix
+
+            norm = normalize_text_array(t.column(text_col)).to_pylist()
+            mat = hashed_tf_matrix(norm, dim)
+            z = mat @ self.w + self.b
+            p = 1.0 / (1.0 + np.exp(-z))
+            return pa.table({
+                id_col: t.column(id_col),
+                "q_score": pa.array(p, pa.float64()),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def quality_model_gate(
+    docs: ray.data.Dataset,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    pareto_alpha: float = 9.0,
+    seed: int = 37,
+) -> ray.data.Dataset:
+    """GPT-3-style stochastic keep rule, made DETERMINISTIC: keep doc iff
+    ``pareto_sample(alpha, u(doc_id)) > 1 - q_score`` where u comes from
+    splitmix64(doc_id) — the paper's np.random.pareto re-seeded per doc so
+    the gate is partition/retry-invariant.  High-scoring docs are always
+    kept; low scorers survive with heavy-tailed probability (keeps corpus
+    diversity instead of a hard threshold).  Output: the surviving docs'
+    (doc_id, text, q_score)."""
+    from ..functions.hashing import splitmix64
+
+    ref = ray.put((np.asarray(model.w, np.float64), float(model.b)))
+
+    class _Gate:
+        def __init__(self):
+            from .shuffleops import _broadcast_get
+
+            self.w, self.b = _broadcast_get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..functions.textnorm import normalize_text_array
+            from .similarity import hashed_tf_matrix
+
+            norm = normalize_text_array(t.column(text_col)).to_pylist()
+            mat = hashed_tf_matrix(norm, dim)
+            p = 1.0 / (1.0 + np.exp(-(mat @ self.w + self.b)))
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            u = (splitmix64(ids, seed=seed).astype(np.float64) + 0.5) \
+                / 2.0 ** 64
+            # inverse-CDF Pareto (Lomax) sample: X = (1-u)^(-1/alpha) - 1
+            x = np.power(1.0 - u, -1.0 / pareto_alpha) - 1.0
+            keep = x > (1.0 - p)
+            out = t.filter(pa.array(keep))
+            return out.append_column(
+                "q_score", pa.array(p[keep], pa.float64()))
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _Gate, batch_format="pyarrow", concurrency=(1, 8))

@@ -310,6 +310,42 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
                                                 batch_format="pandas")
 
 
+def hashed_tf_matrix(norm_texts: "list[str]", dim: int,
+                     sublinear: bool = True) -> np.ndarray:
+    """Vectorized hashing-trick feature matrix over NORMALIZED texts —
+    the kernel shared by hashed_tfidf_vectors and the quality-classifier
+    scorer (one np.add.at scatter per batch, L2-normalized rows)."""
+    from itertools import chain
+
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    tok_lists = [s.split() for s in norm_texts]
+    n = len(tok_lists)
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+    mat = np.zeros((n, dim), np.float64)
+    m = int(lens.sum())
+    if m:
+        h = splitmix64(fnv1a64(list(chain.from_iterable(tok_lists))))
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = 1.0 - 2.0 * ((h >> np.uint64(63)) & np.uint64(1)).astype(np.float64)
+        if sublinear:
+            # tf per (doc, bucket, sign triple is already folded): count
+            # then 1+log — collapse identical (doc, signed-bucket) first
+            key = doc * (2 * dim) + bucket * 2 \
+                + ((h >> np.uint64(63)) & np.uint64(1)).astype(np.int64)
+            uk, cnts = np.unique(key, return_counts=True)
+            tf = 1.0 + np.log(cnts.astype(np.float64))
+            udoc = uk // (2 * dim)
+            ubucket = (uk % (2 * dim)) // 2
+            usign = 1.0 - 2.0 * (uk % 2).astype(np.float64)
+            np.add.at(mat, (udoc, ubucket), usign * tf)
+        else:
+            np.add.at(mat, (doc, bucket), sign)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.where(nrm > 0, mat / np.maximum(nrm, 1e-300), 0.0)
+
+
 def hashed_tfidf_vectors(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -328,38 +364,11 @@ def hashed_tfidf_vectors(
     (one np.add.at scatter per batch); partition-invariant (pinned)."""
     import pyarrow as pa
 
-    from ..functions.hashing import fnv1a64, splitmix64
     from ..functions.textnorm import normalize_text_array
 
     def _vec(t: "pa.Table") -> "pa.Table":
-        from itertools import chain
-
         norm = normalize_text_array(t.column(text_col)).to_pylist()
-        tok_lists = [s.split() for s in norm]
-        n = len(tok_lists)
-        lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
-        mat = np.zeros((n, dim), np.float64)
-        m = int(lens.sum())
-        if m:
-            h = splitmix64(fnv1a64(list(chain.from_iterable(tok_lists))))
-            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-            bucket = (h % np.uint64(dim)).astype(np.int64)
-            sign = 1.0 - 2.0 * ((h >> np.uint64(63)) & np.uint64(1)).astype(np.float64)
-            if sublinear:
-                # tf per (doc, bucket, sign triple is already folded): count
-                # then 1+log — collapse identical (doc, signed-bucket) first
-                key = doc * (2 * dim) + bucket * 2 \
-                    + ((h >> np.uint64(63)) & np.uint64(1)).astype(np.int64)
-                uk, cnts = np.unique(key, return_counts=True)
-                tf = 1.0 + np.log(cnts.astype(np.float64))
-                udoc = uk // (2 * dim)
-                ubucket = (uk % (2 * dim)) // 2
-                usign = 1.0 - 2.0 * (uk % 2).astype(np.float64)
-                np.add.at(mat, (udoc, ubucket), usign * tf)
-            else:
-                np.add.at(mat, (doc, bucket), sign)
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = np.where(nrm > 0, mat / np.maximum(nrm, 1e-300), 0.0)
+        mat = hashed_tf_matrix(norm, dim, sublinear)
         return pa.table({
             "vec_id": t.column(id_col),
             "embedding": pa.FixedSizeListArray.from_arrays(
