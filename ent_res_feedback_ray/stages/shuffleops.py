@@ -136,7 +136,9 @@ def bottom_k(ds: ray.data.Dataset, cols: "list[str]", k: int
     def _prune(df: pd.DataFrame) -> pd.DataFrame:
         if any(c not in df.columns for c in cols):   # column-less empty block
             return df.iloc[0:0]
-        return df.nsmallest(k, cols)
+        # sort_values + head, not nsmallest: nsmallest rejects non-numeric
+        # dtypes (string keys are a legitimate sort column here)
+        return df.sort_values(cols, kind="mergesort").head(k)
 
     return ds.map_batches(_prune, batch_format="pandas").sort(cols).limit(k)
 
