@@ -539,6 +539,10 @@ def _quality_model_gate(reference_path: str, dim: int = 256,
     from ..stages.shuffleops import join_on_key
 
     def _s(ds, ctx):
+        # diamond consumer (README rule 9): train-sample, gate scoring and
+        # the semi-join all read ds — materialize once instead of
+        # re-executing the upstream pipeline per consumer
+        ds = ds.materialize()
         reference = ray.data.read_parquet(reference_path,
                                           columns=["doc_id", "text"])
         model = train_quality_classifier(

@@ -821,6 +821,20 @@ def train_quality_classifier(
     return LogisticScorer(seed=seed).fit(X, y)
 
 
+def _quality_p_batch(t: pa.Table, w: np.ndarray, b: float, dim: int,
+                     text_col: str) -> np.ndarray:
+    """Per-batch classifier probability — the ONE scoring body shared by
+    quality_model_scores and quality_model_gate (normalize → hashed
+    scatter → GEMV → sigmoid), so the gate and the reported q_score can
+    never diverge."""
+    from ..functions.textnorm import normalize_text_array
+    from .similarity import hashed_tf_matrix
+
+    norm = normalize_text_array(t.column(text_col)).to_pylist()
+    mat = hashed_tf_matrix(norm, dim)
+    return 1.0 / (1.0 + np.exp(-(mat @ w + b)))
+
+
 def quality_model_scores(
     docs: ray.data.Dataset,
     model,
@@ -832,23 +846,16 @@ def quality_model_scores(
     classifier's P(reference | doc).  The model broadcasts once
     (``ray.put`` in the caller-visible ref); each batch is one hashed
     scatter + one GEMV."""
-    ref = ray.put((np.asarray(model.w, np.float64), float(model.b),
-                   float(model.nan_fill)))
+    ref = ray.put((np.asarray(model.w, np.float64), float(model.b)))
 
     class _Score:
         def __init__(self):
             from .shuffleops import _broadcast_get
 
-            self.w, self.b, self.nan_fill = _broadcast_get(ref)
+            self.w, self.b = _broadcast_get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            from ..functions.textnorm import normalize_text_array
-            from .similarity import hashed_tf_matrix
-
-            norm = normalize_text_array(t.column(text_col)).to_pylist()
-            mat = hashed_tf_matrix(norm, dim)
-            z = mat @ self.w + self.b
-            p = 1.0 / (1.0 + np.exp(-z))
+            p = _quality_p_batch(t, self.w, self.b, dim, text_col)
             return pa.table({
                 id_col: t.column(id_col),
                 "q_score": pa.array(p, pa.float64()),
@@ -885,12 +892,7 @@ def quality_model_gate(
             self.w, self.b = _broadcast_get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            from ..functions.textnorm import normalize_text_array
-            from .similarity import hashed_tf_matrix
-
-            norm = normalize_text_array(t.column(text_col)).to_pylist()
-            mat = hashed_tf_matrix(norm, dim)
-            p = 1.0 / (1.0 + np.exp(-(mat @ self.w + self.b)))
+            p = _quality_p_batch(t, self.w, self.b, dim, text_col)
             ids = t.column(id_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             u = (splitmix64(ids, seed=seed).astype(np.float64) + 0.5) \

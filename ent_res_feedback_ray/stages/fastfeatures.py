@@ -326,12 +326,16 @@ def _sig_shard_task(id_col: str, norm_col: str,
                                      lang_col, ts_col, have_ts))
     if not chunks:
         # a group of all-empty blocks (nondeterministic block layout):
-        # produce a typed empty shard instead of concat_tables([]) raising
-        chunks.append(_sig_batch(
-            pa.table({id_col: pa.array([], pa.int64()),
-                      norm_col: pa.array([], pa.string()),
-                      lang_col: pa.array([], pa.string())}),
-            id_col, norm_col, lang_col, ts_col, False))
+        # produce a typed empty shard instead of concat_tables([]) raising.
+        # The empty table must honor have_ts — _assemble_shard reads ts_us
+        # when the corpus carries timestamps (the normal ER case).
+        cols = {id_col: pa.array([], pa.int64()),
+                norm_col: pa.array([], pa.string()),
+                lang_col: pa.array([], pa.string())}
+        if have_ts:
+            cols[ts_col] = pa.array([], pa.timestamp("us"))
+        chunks.append(_sig_batch(pa.table(cols), id_col, norm_col,
+                                 lang_col, ts_col, have_ts))
     sig = _assemble_shard(pa.concat_tables(chunks), have_ts)
     return sig.ids, sig
 
@@ -368,11 +372,14 @@ def build_doc_signatures(norm_ds: ray.data.Dataset, id_col: str = "doc_id",
     # micro-blocks as 128 shards made every batch 4× more expensive than 32
     ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
     if not block_refs:
+        cols = {id_col: pa.array([], pa.int64()),
+                norm_col: pa.array([], pa.string()),
+                lang_col: pa.array([], pa.string())}
+        if have_ts:  # the empty shard must still carry ts_us when the
+            cols[ts_col] = pa.array([], pa.timestamp("us"))  # handle says so
         empty = _assemble_shard(
-            _sig_batch(pa.table({id_col: pa.array([], pa.int64()),
-                                 norm_col: pa.array([], pa.string()),
-                                 lang_col: pa.array([], pa.string())}),
-                       id_col, norm_col, lang_col, ts_col, False), False)
+            _sig_batch(pa.table(cols), id_col, norm_col, lang_col, ts_col,
+                       have_ts), have_ts)
         z = np.empty(0, np.int64)
         return ShardedSignatures(None, [ray.put(empty)], have_ts,
                                  _route=(z, z, z))

@@ -364,6 +364,16 @@ def attach_attrs(
     doc_placeholder = {
         c: _placeholder_for(t) for c, t in zip(docs_schema.names, docs_schema.types)
     }
+    # canonical NaN-capable dtype per attr: a LEFT merge emits float64+NaN
+    # for unmatched pairs, so int/bool attrs must travel as float64 on BOTH
+    # sides of the tagged union or the exchange carries mixed-dtype blocks
+    # for the same column (layout-dependent Arrow unification failures)
+    _numeric = (np.integer, np.floating, bool, np.bool_)
+    attr_is_num = {c: isinstance(doc_placeholder[c], _numeric)
+                   and not isinstance(doc_placeholder[c], str)
+                   for c in attr_cols}
+    attr_canon_ph = {c: (np.float64(0.0) if attr_is_num[c]
+                         else doc_placeholder[c]) for c in attr_cols}
 
     def _join_side(pair_ds, side: str, pair_cols, pair_placeholder):
         doc_attr_tagged = [f"{c}{side}" for c in attr_cols]
@@ -373,7 +383,7 @@ def attach_attrs(
             df = df.copy()
             for base, c in zip(attr_cols, doc_attr_tagged):
                 if c not in df.columns:
-                    df[c] = doc_placeholder[base]
+                    df[c] = attr_canon_ph[base]
             df["__node"] = df[f"id{s}"]
             df["__is_doc"] = False
             return df[all_cols + ["__node", "__is_doc"]]
@@ -383,7 +393,8 @@ def attach_attrs(
             for c in pair_cols:
                 out[c] = pd.Series([pair_placeholder[c]] * len(df))
             for c in attr_cols:
-                out[f"{c}{s}"] = df[c].to_numpy()
+                v = df[c].to_numpy()
+                out[f"{c}{s}"] = v.astype(np.float64) if attr_is_num[c] else v
             out["__node"] = df[id_col].to_numpy()
             out["__is_doc"] = True
             return out[all_cols + ["__node", "__is_doc"]]
@@ -397,6 +408,9 @@ def attach_attrs(
                 columns=doc_attr_tagged + ["__is_doc"])
             d = d[["__node", *doc_attr_tagged]]
             out = p.merge(d, on="__node", how="left")
+            for base, c in zip(attr_cols, doc_attr_tagged):
+                if attr_is_num[base]:   # all-matched buckets stay float too
+                    out[c] = out[c].astype(np.float64)
             return out.drop(columns=["__node"])
 
         return bucketed_group_apply(
@@ -414,10 +428,9 @@ def attach_attrs(
         ph1 = {c: _placeholder_for(t)
                for c, t in zip(psch.names, psch.types)}
     side1 = _join_side(pairs, "1", pair_cols1, ph1)
-    attr_ph = {c: doc_placeholder[c] for c in attr_cols}
     pair_cols2 = pair_cols1 + [f"{c}1" for c in attr_cols
                                if f"{c}1" not in pair_cols1]
-    ph2 = {**ph1, **{f"{c}1": attr_ph[c] for c in attr_cols}}
+    ph2 = {**ph1, **{f"{c}1": attr_canon_ph[c] for c in attr_cols}}
     return _join_side(side1, "2", pair_cols2, ph2)
 
 

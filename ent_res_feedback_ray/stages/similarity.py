@@ -30,13 +30,15 @@ def _normalized_matrix(df: pd.DataFrame, id_col: str = "vec_id",
 
 
 def _first_n_rows(ds: ray.data.Dataset, col: str, n: int) -> pd.DataFrame:
-    """The n smallest rows by ``col`` WITHOUT a global sort: per-batch
-    bottom-n (map-side prune) → bounded driver merge of ≤ n_blocks·n rows.
-    The former `sort(col).limit(n)` shape paid a full all-to-all range
-    shuffle of the table for a handful of query rows."""
-    part = ds.map_batches(lambda df: df.nsmallest(n, col),
-                          batch_format="pandas")
-    return part.to_pandas().nsmallest(n, col).reset_index(drop=True)
+    """The n smallest rows by ``col`` WITHOUT a table-wide sort: map-side
+    bottom-n prune, then a DISTRIBUTED sort over the surviving ≤
+    n_blocks·n rows — exactly n rows reach the driver (with micro-blocks
+    the pruned set can approach the table, so the merge must not be a
+    driver pull).  The former `sort(col).limit(n)` shape shuffled the
+    whole table for a handful of query rows."""
+    from .shuffleops import bottom_k
+
+    return bottom_k(ds, [col], n).to_pandas()
 
 
 def ann_topk_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:

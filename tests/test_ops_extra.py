@@ -199,3 +199,26 @@ def test_cli_main_inprocess(tmp_path, sf_dir, synth_pages):
 
     with redirect_stdout(io.StringIO()):
         assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_attach_attrs_bucketed_int_attr_with_missing_doc():
+    # regression: the cogroup path's LEFT merge emits float64+NaN for a
+    # pair id absent from docs, while the tagged union used to declare the
+    # int placeholder dtype — mixed-dtype blocks for the same column.
+    # Numeric attrs now travel as float64 on BOTH sides (NaN-capable).
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    docs = pd.DataFrame({"doc_id": np.array([1, 2], np.int64),
+                         "nfp": np.array([10, 20], np.int64)})
+    pairs = pd.DataFrame({"id1": np.array([1, 99], np.int64),
+                          "id2": np.array([2, 1], np.int64)})
+    wide = attach_attrs(ray.data.from_pandas(pairs),
+                        ray.data.from_pandas(docs),
+                        attr_cols=["nfp"], broadcast_limit=0) \
+        .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert wide.loc[0, "nfp1"] == 10.0 and wide.loc[0, "nfp2"] == 20.0
+    assert np.isnan(wide.loc[1, "nfp1"])          # 99 has no doc row
+    assert wide.loc[1, "nfp2"] == 10.0
+    assert wide["nfp1"].dtype == np.float64 == wide["nfp2"].dtype
