@@ -1255,9 +1255,14 @@ def ref_stats(sf_dir: str, fanout: int = 3,
                         broadcast_limit=broadcast_limit)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("id1", as_index=False).agg(
+        out = df.groupby("id1", as_index=False).agg(
             n_refs=("tok2", "size"), ref_tokens=("tok2", "sum"),
             first_ref=("id2", "min"))
+        # attach_attrs canonicalizes numeric attrs to float64 (NaN-capable
+        # left-join dtype); every id2 here has a doc row by construction,
+        # so the sum is exact — cast back to the oracle's BIGINT
+        out["ref_tokens"] = out["ref_tokens"].astype(np.int64)
+        return out
 
     partials = wide.map_batches(_partial, batch_format="pandas")
     agg = bucketed_aggregate(partials, "id1",
