@@ -222,3 +222,28 @@ def test_attach_attrs_bucketed_int_attr_with_missing_doc():
     assert np.isnan(wide.loc[1, "nfp1"])          # 99 has no doc row
     assert wide.loc[1, "nfp2"] == 10.0
     assert wide["nfp1"].dtype == np.float64 == wide["nfp2"].dtype
+
+
+def test_bottom_k_numeric_string_and_empty_blocks():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ent_res_feedback_ray.stages.shuffleops import bottom_k
+
+    df = pd.DataFrame({
+        "k": ["b", "a", "c", "a", "b"],
+        "v": np.array([5, 3, 1, 4, 2], np.int64),
+    })
+    # string keys (nsmallest would reject these), lexicographic (k, v)
+    out = bottom_k(ray.data.from_pandas(df), ["k", "v"], 3).to_pandas()
+    assert list(out["k"]) == ["a", "a", "b"]
+    assert list(out["v"]) == [3, 4, 2]
+    # numeric key, k larger than the table → whole table sorted
+    out2 = bottom_k(ray.data.from_pandas(df), ["v"], 99).to_pandas()
+    assert list(out2["v"]) == [1, 2, 3, 4, 5]
+    # column-less empty block in the union is skipped, not fatal
+    ds = ray.data.from_pandas(df).union(ray.data.from_arrow([pa.table({})]))
+    out3 = bottom_k(ds, ["v"], 2).to_pandas()
+    assert list(out3["v"]) == [1, 2]
