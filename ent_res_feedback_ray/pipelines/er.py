@@ -283,7 +283,10 @@ def er_quality(sf_dir: str) -> pd.DataFrame:
                                      "block": df["block_key"]}),
             batch_format="pandas"),
         "id", how="inner",
-        left_fields=[("id", np.int64), ("pred", object)],
+        # pred is the int64 cluster_id from transitive clustering — declaring
+        # it object would make the right-side tagger fill a "" placeholder
+        # while left blocks carry int64 (mixed-dtype union columns)
+        left_fields=[("id", np.int64), ("pred", np.int64)],
         right_fields=[("id", np.int64), ("block", object)])
     cm = pairwise_cmacro_dataset(pred_blocked, gold)
     return pd.DataFrame({
@@ -1260,7 +1263,13 @@ def ref_stats(sf_dir: str, fanout: int = 3,
             first_ref=("id2", "min"))
         # attach_attrs canonicalizes numeric attrs to float64 (NaN-capable
         # left-join dtype); every id2 here has a doc row by construction,
-        # so the sum is exact — cast back to the oracle's BIGINT
+        # so the sum is exact — cast back to the oracle's BIGINT.  If the
+        # invariant ever breaks (e.g. a filtered docs projection), fail
+        # with a diagnosable message instead of a non-finite-cast error.
+        if out["ref_tokens"].isna().any():
+            raise ValueError(
+                "ref_stats: some linked id2 had no doc row — the "
+                "links⊆docs invariant is violated upstream")
         out["ref_tokens"] = out["ref_tokens"].astype(np.int64)
         return out
 

@@ -548,8 +548,12 @@ def _quality_model_gate(reference_path: str, dim: int = 256,
         model = train_quality_classifier(
             ds, reference, dim=dim, seed=seed,
             max_train_per_side=max_train_per_side)
+        # distinct hash stream for the gate's Pareto keep-draw: reusing the
+        # training seed would couple training-sample membership (smallest
+        # splitmix draws) with the keep decision (same smallest draws)
         kept = quality_model_gate(ds, model, dim=dim,
-                                  pareto_alpha=pareto_alpha, seed=seed) \
+                                  pareto_alpha=pareto_alpha,
+                                  seed=seed ^ 0x5DEECE66D) \
             .select_columns(["doc_id"])
         return join_on_key(ds, kept, "doc_id", num_buckets, how="semi")
 

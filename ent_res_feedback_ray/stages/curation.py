@@ -789,10 +789,12 @@ def train_quality_classifier(
 ):
     """Fit a logistic quality classifier: reference docs (label 1) vs raw
     corpus docs (label 0) over hashed-TF-IDF features.  Each side is
-    bounded to ``max_train_per_side`` rows by a seeded hash sample before
-    the driver pull (count once per side to pick the rate — bounded driver
-    state is the model (dim+1 doubles), never the corpus).  Returns the
-    fitted LogisticScorer (weights over the ``dim`` hashed buckets)."""
+    bounded by a seeded Bernoulli hash sample at rate max/n (bounded in
+    EXPECTATION — binomial fluctuation can overshoot), then hard-capped at
+    ``max_train_per_side`` rows after the pull (count once per side to
+    pick the rate — bounded driver state is the model (dim+1 doubles),
+    never the corpus).  Returns the fitted LogisticScorer (weights over
+    the ``dim`` hashed buckets)."""
     from ..functions.textnorm import normalize_text_array
     from ..state.model import LogisticScorer
     from .similarity import hashed_tf_matrix
@@ -810,6 +812,7 @@ def train_quality_classifier(
                 pa.array(mat.reshape(-1), pa.float64()), dim)})
 
         df = sub.map_batches(_vec, batch_format="pyarrow").to_pandas()
+        df = df.head(max_train_per_side)   # hard cap: Bernoulli can overshoot
         if not len(df):
             return np.zeros((0, dim), np.float64)
         return np.stack(df["v"].to_numpy()).astype(np.float64)
