@@ -50,6 +50,47 @@ def _broadcast_get(ref):
     return _BROADCAST_CACHE[key]
 
 
+_FLOAT_EXACT_MAX = 2 ** 53  # largest int range float64 represents exactly
+
+
+def _canon_float64(v: np.ndarray, col: str) -> np.ndarray:
+    """Cast an int/bool attr column to the NaN-capable float64 canonical
+    dtype, failing LOUDLY if any value exceeds float64's exact-integer
+    range (|v| > 2^53) — silent precision loss on id-like attrs is worse
+    than an error."""
+    if v.dtype.kind in "iu" and len(v) and np.abs(v).max() > _FLOAT_EXACT_MAX:
+        raise ValueError(
+            f"attach_attrs: int attr {col!r} has values beyond 2^53; "
+            "float64 canonicalization would lose exactness — join on it "
+            "with join_on_key instead, or rescale the attr")
+    return v.astype(np.float64)
+
+
+@ray.remote
+def _attach_dim_task(id_col: str, attr_cols: list, *blocks) -> pd.DataFrame:
+    """Assemble the broadcast id→attrs dim frame from the materialized
+    docs dataset's blocks — in a WORKER, so the driver never holds an
+    O(docs)-row (potentially text-heavy) frame; only the ObjectRef of the
+    task's plasma-resident return travels through the driver.  Numeric
+    (int/bool) attrs are canonicalized to float64 here so the broadcast
+    plan emits the same dtypes as the bucketed cogroup plan."""
+    def _names(b):
+        return b.columns if isinstance(b, pd.DataFrame) else b.schema.names
+
+    blocks = [b for b in blocks if id_col in _names(b)]
+    frames = [b if isinstance(b, pd.DataFrame) else b.to_pandas()
+              for b in blocks]
+    if frames:
+        dim = pd.concat(frames, ignore_index=True)
+    else:
+        dim = pd.DataFrame({c: [] for c in [id_col, *attr_cols]})
+    for c in attr_cols:
+        v = dim[c].to_numpy()
+        if v.dtype.kind in "iub":
+            dim[c] = _canon_float64(v, c)
+    return dim.set_index(id_col)
+
+
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
     return (h % num_buckets).astype(np.int64)
@@ -310,6 +351,12 @@ def attach_attrs(
     - bigger: two bucketed cogroup joins (pairs⋈docs on id1, then id2) —
       pair rows stay narrow through both shuffles instead of carrying text
       through the blocking explosion (16× band write-amplification avoided).
+
+    Dtype contract (BOTH plans, so output is corpus-size-invariant): numeric
+    (int/bool) attrs are canonicalized to NaN-capable float64 — a left join
+    can always miss.  Int values beyond 2^53 fail loudly rather than lose
+    exactness (``_canon_float64``); callers needing BIGINT output cast back
+    after verifying no-NaN (see ``ref_stats``).
     """
     attr_cols = attr_cols or [c for c in docs.schema().names if c != id_col]
     # ONE execution of the docs lineage: count(), the broadcast pull, and
@@ -318,11 +365,12 @@ def attach_attrs(
     proj = docs.select_columns([id_col, *attr_cols]).materialize()
     n_docs = proj.count()
     if n_docs <= broadcast_limit:
-        import ray as _ray
-
-        dim = proj.to_pandas()
-        dim = dim.set_index(id_col)
-        ref = _ray.put(dim)
+        # task-side assembly: the dim frame (up to 2M rows of possibly-text
+        # attrs) is concatenated inside a Ray task from the materialized
+        # blocks and returned straight into plasma — the driver heap only
+        # ever holds the ObjectRef (round-4 verdict item 4)
+        ref = _attach_dim_task.remote(id_col, list(attr_cols),
+                                      *proj.to_arrow_refs())
 
         def _gather(df: pd.DataFrame) -> pd.DataFrame:
             d = _broadcast_get(ref)  # deserialized once per worker process
@@ -394,7 +442,7 @@ def attach_attrs(
                 out[c] = pd.Series([pair_placeholder[c]] * len(df))
             for c in attr_cols:
                 v = df[c].to_numpy()
-                out[f"{c}{s}"] = v.astype(np.float64) if attr_is_num[c] else v
+                out[f"{c}{s}"] = _canon_float64(v, c) if attr_is_num[c] else v
             out["__node"] = df[id_col].to_numpy()
             out["__is_doc"] = True
             return out[all_cols + ["__node", "__is_doc"]]

@@ -100,6 +100,30 @@ def test_attach_attrs_bucketed_matches_broadcast():
     assert a.loc[0, "norm_text2"] == "text 3"
 
 
+def test_attach_attrs_broadcast_float64_contract_and_guard():
+    # both plans emit float64 for int attrs (corpus-size-invariant dtypes);
+    # int values beyond 2^53 fail loudly instead of losing exactness
+    docs = pd.DataFrame({"doc_id": np.array([1, 2], np.int64),
+                         "nfp": np.array([10, 20], np.int64)})
+    pairs = pd.DataFrame({"id1": np.array([1, 99], np.int64),
+                          "id2": np.array([2, 1], np.int64)})
+    wide = attach_attrs(ray.data.from_pandas(pairs),
+                        ray.data.from_pandas(docs),
+                        attr_cols=["nfp"], broadcast_limit=10**9) \
+        .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert wide["nfp1"].dtype == np.float64 == wide["nfp2"].dtype
+    assert wide.loc[0, "nfp1"] == 10.0 and np.isnan(wide.loc[1, "nfp1"])
+
+    big = pd.DataFrame({"doc_id": np.array([1], np.int64),
+                        "nfp": np.array([2**60], np.int64)})
+    for limit in (10**9, 0):
+        with pytest.raises(Exception, match="2\\^53"):
+            attach_attrs(ray.data.from_pandas(pairs),
+                         ray.data.from_pandas(big),
+                         attr_cols=["nfp"], broadcast_limit=limit) \
+                .materialize()
+
+
 def test_bucketed_aggregate_matches_pandas():
     rng = np.random.default_rng(1)
     df = pd.DataFrame({"k": rng.integers(0, 1000, 20000),
