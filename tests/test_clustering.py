@@ -47,6 +47,41 @@ def test_distributed_matches_driver():
     assert got == expected
 
 
+def test_distributed_cc_large_random_and_chain():
+    # bigger random graph (exercises multi-shard message routing) plus a
+    # long chain (exercises multi-round delta propagation: only the
+    # frontier emits after round 0)
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 3000, 4000).astype(np.int64)
+    dst = rng.integers(0, 3000, 4000).astype(np.int64)
+    chain = np.arange(5000, 5040, dtype=np.int64)
+    src = np.concatenate([src, chain[:-1]])
+    dst = np.concatenate([dst, chain[1:]])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    expected = unionfind_numpy(src, dst)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"src": src, "dst": dst})).repartition(8)
+    out = connected_components_distributed(
+        edges, max_rounds=60, n_shards=4).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == expected
+
+
+def test_distributed_cc_cogroup_fill_path():
+    # force the O(|nodes|) cogroup singleton fill (broadcast_fill_limit=0)
+    src, dst = _random_edges(13)
+    nodes = ray.data.from_pandas(pd.DataFrame(
+        {"node": np.arange(80, dtype=np.int64)}))
+    edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    out = connected_components_distributed(
+        edges, nodes=nodes, broadcast_fill_limit=0).to_pandas()
+    assert len(out) == 80
+    expected = unionfind_numpy(src, dst, nodes=np.arange(80, dtype=np.int64))
+    got = dict(zip(out["node"], out["label"]))
+    assert got == expected
+
+
 def test_connected_components_auto_small():
     src, dst = _random_edges(11)
     edges = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
