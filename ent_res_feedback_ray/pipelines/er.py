@@ -1802,10 +1802,10 @@ def incremental_clusters(sf_dir: str, new_fraction: float = 0.2) -> ray.data.Dat
         return _f
 
     old_ids = ids.map_batches(_split_ids(True), batch_format="pyarrow")
-    # the new-id list is pulled bounded by new_fraction (the incremental
-    # contract hands new mentions to the driver-side assign API)
-    new_ids = ids.map_batches(_split_ids(False),
-                              batch_format="pyarrow").to_pandas()
+    # the new-id set stays a DATASET: incremental_assign assembles its
+    # sorted membership array inside a Ray task (no O(new docs) driver pull
+    # — at new_fraction=0.2 the increment is O(corpus))
+    new_ids = ids.map_batches(_split_ids(False), batch_format="pyarrow")
 
     def _old_only(df: pd.DataFrame) -> pd.DataFrame:
         if cut is None:
