@@ -28,7 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ent_res_feedback_ray.pipelines import er, relational
     from ent_res_feedback_ray.stages import (curation, dedup, multimodal,
-                                             similarity, textstats)
+                                             sampling, similarity, textstats)
 
     q: dict[str, Callable[[str], Any]] = {
         # --- entity resolution (SURVEY.md §2.2/§2.5/§2.7/§2.10) ---
@@ -36,9 +36,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (merged with the former er_normalize — 50-query driver window)
         "er_pages": lambda sf: er.pages_normalized(sf).select_columns(
             ["url", "warc_ts", "text", "lang", "doc_id", "norm_text"]),
-        "er_blocking": er.blocked_compact,
+        # (er_blocking and er_candidate_pairs retired from the registry —
+        # 50-query driver window: the blocking keys are re-derived inside
+        # er_constraint_chain's green CASE chain and the pair set is the
+        # exact row basis of the green er_features/er_scores; both also
+        # stay pinned by tests/test_er_pipeline.py.  span_dedup and
+        # heavy_hitters take the slots with bit-exact twins.)
         "er_constraint_chain": er.constraint_chain,
-        "er_candidate_pairs": er.candidate_pairs_compact,
         "er_features": er.pair_features,
         "er_scores": er.scored_pairs_compact,
         "er_clusters": er.clusters,
@@ -89,8 +93,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_image_features": multimodal.pages_image_features,
         # --- dedup suite ---
         "dedup_exact": dedup.exact_dedup_groups,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # (dedup_ngram_jaccard retired from the registry — 50-query driver
+        # window; it shared its brute-force SQL with the green
+        # dedup_minhash_lsh row, so it pinned nothing extra.  Its O(n²)
+        # oracle parity stays in tests/test_dedup.py.  source_balanced
+        # sampling takes the slot.)
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "span_dedup": dedup.span_dedup_docs,
         # (dedup_simhash retired from the registry — 50-query driver window;
         # its Hamming-verify parity stays pinned by tests/test_dedup.py and
         # the segmented-sketch tests.  pii_redaction takes the slot with a
@@ -107,9 +116,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window; lsh+ivf recall ≥0.9 vs brute force stays pinned by
         # tests/test_similarity_scale.py.  decontaminate_13gram takes the
         # slot with a bit-exact n-gram-collision twin.)
-        "embedding_centroids": similarity.embedding_centroids,
+        # (embedding_centroids retired from the registry — 50-query driver
+        # window; it was rows-only (k-means has no SQL twin) and its
+        # partial-sums parity stays pinned by tests/test_similarity*.py.
+        # doc_quantiles takes the slot with a bit-exact rank-formula twin.)
         # --- training-data curation ---
         "pii_redaction": curation.pii_redaction,
+        "source_balanced_sample": sampling.source_balanced_docs,
+        "heavy_hitters": textstats.heavy_hitters_docs,
+        "doc_quantiles": textstats.price_quantiles,
         "decontaminate_13gram": lambda sf: curation.decontaminate_docs(
             sf, n=13, bench_mod=17),
         # the end-to-end hygiene funnel (exact-dedup > lang > quality >
@@ -122,7 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ent_res_feedback_ray.pipelines import er, relational
     from ent_res_feedback_ray.stages import (curation, dedup, multimodal,
-                                             similarity, textstats)
+                                             sampling, similarity, textstats)
 
     out = dict(er.oracle_queries())
     out.update({
@@ -140,11 +155,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_quality": textstats.QUALITY_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
-        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # dedup_minhash_lsh: verified-subset of the brute-force set; at the
         # planted-dup similarity (≈0.95) the LSH miss probability is ~1e-9,
         # so the exact brute-force SQL is a valid oracle.
         "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
+        "span_dedup": dedup.span_dedup_sql(),
+        "source_balanced_sample": sampling.source_balanced_sample_sql(),
+        "heavy_hitters": textstats.heavy_hitters_sql(),
+        "doc_quantiles": textstats.price_quantiles_sql(),
         "dedup_embedding": dedup.EMBEDDING_DUP_SQL,
         "paragraph_dedup": dedup.PARAGRAPH_DEDUP_SQL,
         "doc_lang_id": textstats.LANG_ID_SQL,

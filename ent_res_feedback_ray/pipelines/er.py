@@ -597,7 +597,11 @@ fbase AS (
                 ELSE len(string_split(b.norm_text, ' ')) END) // 16, 8)
            AS tok_b,
          month(b.warc_ts) AS month_n,
-         string_split(b.norm_text, ' ')[1] AS name
+         string_split(b.norm_text, ' ')[1] AS name,
+         string_split(n.url, ':')[1] AS scheme,
+         least(len(string_split(n.url, '/')) - 1, 8) AS path_d,
+         len(string_split(string_split(n.url, '/')[3], '.')) - 1 AS host_d,
+         string_split(string_split(n.url, '/')[3], '.')[-1] AS tld_v
   FROM blocks b JOIN norm n USING (doc_id) JOIN gold g ON g.id = b.doc_id
 ),
 fstat AS (
@@ -621,7 +625,13 @@ fdoc AS MATERIALIZED (
     CAST(CAST(floor(CAST(nn - ng AS DOUBLE) / greatest(bs - 1, 1) * 10
                     + 0.5) AS BIGINT) AS VARCHAR) AS homonymity_bucket,
     CAST(CAST(floor(CAST(gg - ng AS DOUBLE) / greatest(bs - 1, 1) * 10
-                    + 0.5) AS BIGINT) AS VARCHAR) AS synonymity_bucket
+                    + 0.5) AS BIGINT) AS VARCHAR) AS synonymity_bucket,
+    substr(name, 1, 1) AS first_letter,
+    CAST(least(len(name), 8) AS VARCHAR) AS name_len_bucket,
+    CAST(host_d AS VARCHAR) AS host_depth,
+    scheme AS url_scheme,
+    CAST(path_d AS VARCHAR) AS path_depth,
+    tld_v AS tld
   FROM fstat
 ),
 mf AS (
@@ -638,6 +648,13 @@ mf AS (
     homonymity_bucket FROM fdoc
   UNION ALL SELECT doc_id, pred, gold, 'synonymity_bucket',
     synonymity_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'first_letter', first_letter FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'name_len_bucket',
+    name_len_bucket FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'host_depth', host_depth FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'url_scheme', url_scheme FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'path_depth', path_depth FROM fdoc
+  UNION ALL SELECT doc_id, pred, gold, 'tld', tld FROM fdoc
 ),
 fcells AS (
   SELECT facet, facet_value, pred, gold, count(*) AS n
@@ -1458,17 +1475,26 @@ def claims_eval(sf_dir: str, claim_rate: float = 0.5, seed: int = 31) -> pd.Data
 
 FACET_COLS = ("lang", "host", "len_bucket", "tok_bucket", "month",
               "block_size_bucket", "cluster_size_bucket",
-              "homonymity_bucket", "synonymity_bucket")
+              "homonymity_bucket", "synonymity_bucket",
+              # round-5: the reference's remaining facet analogs
+              # (/root/reference/s2and/eval.py:300-427) — firstname
+              # full-vs-initial → first_letter + name-length, affiliation
+              # presence → host registrar depth, email presence → url
+              # scheme, references count → url path depth, venue → tld
+              "first_letter", "name_len_bucket", "host_depth",
+              "url_scheme", "path_depth", "tld")
 
 
 def facet_eval(sf_dir: str) -> pd.DataFrame:
     """Multi-facet evaluation (reference ``facet_eval`` runs ~15 facet
     breakdowns, /root/reference/s2and/eval.py:196-427): B³ of the key-block
-    partition vs the brute-force gold, broken down by NINE facets — the
-    reference's year/author-count/block-size/cluster-size analogs plus its
+    partition vs the brute-force gold, broken down by FIFTEEN facets — the
+    reference's year/author-count/block-size/cluster-size analogs, its
     namesake within-block homonymity (same "name", different gold cluster)
-    and synonymity (different "name", same gold cluster) fractions, where
-    the webtext "name" is the leading normalized token.  All per-doc facet
+    and synonymity (different "name", same gold cluster) fractions (the
+    webtext "name" is the leading normalized token), and the remaining
+    availability/identity facet analogs (first_letter, name_len_bucket,
+    host_depth, url_scheme, path_depth, tld).  All per-doc facet
     values come out of two bucketed cogroups (gold-size, then per-block
     pair counts via per-key transforms — no quadratic pair loop); ALL
     facets then share ONE distributed cells pass (melted facet rows)."""
@@ -1488,7 +1514,18 @@ def facet_eval(sf_dir: str) -> pd.DataFrame:
             "len_bucket": lb.astype(str),
             "tok_bucket": (ntok // 16).clip(upper=8).astype(str),
             "month": df["warc_ts"].dt.month.astype(str),
-            "name": name})
+            "name": name,
+            # row-level reference-analog facets (no NaN tolerance: a
+            # malformed url would raise loudly in the int casts below)
+            "first_letter": name.str[:1],
+            "name_len_bucket": name.str.len().clip(upper=8)
+                                   .astype(np.int64).astype(str),
+            "host_depth": host.str.count(r"\.")
+                              .astype(np.int64).astype(str),
+            "url_scheme": df["url"].str.split(":").str[0].fillna(""),
+            "path_depth": df["url"].str.count("/").clip(upper=8)
+                                   .astype(np.int64).astype(str),
+            "tld": host.str.split(".").str[-1].fillna("")})
 
     pred = base.map_batches(_facets, batch_format="pandas")
     gold = _gold_assignments(sf_dir).map_batches(
@@ -1507,7 +1544,10 @@ def facet_eval(sf_dir: str) -> pd.DataFrame:
         left_fields=[("doc_id", np.int64), ("pred", object),
                      ("lang", object), ("host", object),
                      ("len_bucket", object), ("tok_bucket", object),
-                     ("month", object), ("name", object)],
+                     ("month", object), ("name", object),
+                     ("first_letter", object), ("name_len_bucket", object),
+                     ("host_depth", object), ("url_scheme", object),
+                     ("path_depth", object), ("tld", object)],
         right_fields=[("doc_id", np.int64), ("gold", np.int64),
                       ("cluster_size", np.int64)])
 

@@ -622,6 +622,61 @@ def span_dedup(
                                      ("start", np.int64)])
 
 
+def span_dedup_docs(sf_dir: str, span_len: int = 20) -> ray.data.Dataset:
+    """Driver-surface row for corpus-level token-span dedup over the
+    documents table; bit-exact DuckDB window-election twin
+    (:func:`span_dedup_sql`)."""
+    out = span_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        span_len=span_len)
+    return out.map_batches(
+        lambda df: df.assign(n_tokens=df["n_tokens"].astype(np.int64),
+                             n_tokens_removed=df["n_tokens_removed"]
+                             .astype(np.int64)),
+        batch_format="pandas")
+
+
+def span_dedup_sql(span_len: int = 20, table: str = "documents") -> str:
+    """Exact twin of :func:`span_dedup`: stride-1 windows, first occurrence
+    by (doc_id, start) wins, a token drops iff covered by a losing window.
+    (The engine compares 64-bit window fingerprints; the twin compares the
+    window STRINGS — identical unless fnv1a64 collides.)"""
+    L = span_len
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM {table}
+),
+wins AS (
+  SELECT doc_id, i - 1 AS start,
+         array_to_string(list_slice(ts, i, i + {L - 1}), ' ') AS w
+  FROM toks, unnest(range(1, len(ts) - {L} + 2)) AS u(i)
+  WHERE len(ts) >= {L}
+),
+marked AS (
+  SELECT *, row_number() OVER (PARTITION BY w ORDER BY doc_id, start) rn,
+         count(*) OVER (PARTITION BY w) cnt
+  FROM wins
+),
+drops AS (SELECT doc_id, start FROM marked WHERE cnt >= 2 AND rn > 1),
+tokidx AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(generate_series(1, len(ts))) - 1 AS p, len(ts) AS n
+  FROM toks
+),
+keep AS (
+  SELECT t.doc_id, t.tok, t.p, t.n,
+    NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = t.doc_id
+                AND t.p >= d.start AND t.p < d.start + {L}) AS k
+  FROM tokidx t
+)
+SELECT doc_id,
+  coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE k), '') AS text,
+  CAST(any_value(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) FILTER (WHERE NOT k) AS BIGINT) AS n_tokens_removed
+FROM keep GROUP BY doc_id
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # winnowing-fingerprint near-dup (MOSS-style copy detection — Schleimer
 # et al., SIGMOD'03; the practical substring-overlap detector alongside the

@@ -113,6 +113,15 @@ def balanced_sample(df: pd.DataFrame, label_col: str, k_per_class: int,
 SOURCE_CARD_CAP = 100_000
 
 
+def source_balanced_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Driver-surface row: every source of the documents table downsampled
+    toward the smallest source's size (integer-exact md5 membership —
+    bit-exact DuckDB twin ``source_balanced_sample_sql``)."""
+    from ..sources.tables import read_table
+
+    return source_balanced_sample(read_table(sf_dir, "documents"))
+
+
 def source_balanced_sample(ds: ray.data.Dataset, source_col: str = "source",
                            id_col: str = "doc_id", seed: int = 17
                            ) -> ray.data.Dataset:

@@ -459,6 +459,30 @@ def heavy_hitters(
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def heavy_hitters_docs(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Driver-surface row: exact bounded-state heavy hitters over the
+    documents table (brute-force-count DuckDB twin, parity-tested)."""
+    return heavy_hitters(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=k)
+
+
+def price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Driver-surface row: exact distributed order-statistic quantiles of
+    lineitem.l_extendedprice (sort → limit → Max per quantile; only |qs|
+    scalars reach the driver)."""
+    from .shuffleops import column_quantiles
+
+    return column_quantiles(
+        read_table(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice")
+
+
+def price_quantiles_sql() -> str:
+    from .shuffleops import column_quantiles_sql
+
+    return column_quantiles_sql("lineitem", "l_extendedprice")
+
+
 def heavy_hitters_sql(text_col: str = "text", k: int = 64) -> str:
     """Brute-force oracle: exact counts over ALL tokens with the identical
     integer threshold — equals heavy_hitters() output (parity-tested)."""
