@@ -303,6 +303,32 @@ def _lang_gate(lang: str = "en") -> Stage:
     return _s
 
 
+@register_stage("lang_ensemble_gate")
+def _lang_ensemble_gate(lang: str = "en", require_reliable: bool = True) -> Stage:
+    """Keep docs whose ENSEMBLE language prediction is ``lang`` — the
+    two-voter LID with the reference ``is_reliable`` agreement logic
+    (marker-argmax + trigram voter, textstats.lang_id_ensemble_batch;
+    reference /root/reference/s2and/text.py:266-309).  With
+    ``require_reliable`` the voters must agree AND have ≥2 marker hits —
+    the model-based-LID seam the curation funnel upgrades to when a real
+    fastText model is available."""
+    from ..stages.textstats import lang_id_ensemble_batch
+
+    def _s(ds, ctx):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            pred = lang_id_ensemble_batch(t)
+            keep = pc.equal(pred.column("pred_marker"), lang)
+            if require_reliable:
+                keep = pc.and_(keep, pred.column("is_reliable"))
+            return t.filter(keep)
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return _s
+
+
 @register_stage("quality_gate")
 def _quality_gate() -> Stage:
     """Keep docs passing the Gopher-rule chain (no violated rule)."""
