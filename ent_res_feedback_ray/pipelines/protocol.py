@@ -428,6 +428,22 @@ def _pii_redact(text_col: str = "text") -> Stage:
     return _s
 
 
+@register_stage("embed_text")
+def _embed_text(dim: int = 64, vocab_dim: int = 4096, seed: int = 13,
+                text_col: str = "text", out_col: str = "embedding",
+                batch_size: int = 1024) -> Stage:
+    """Compute an embedding column in-pipeline (TextEmbedder actor pool —
+    the SPECTER/SBERT seam with a deterministic public stand-in kernel)."""
+    from ..stages.similarity import embed_texts
+
+    def _s(ds, ctx):
+        return embed_texts(ds, dim=dim, vocab_dim=vocab_dim, seed=seed,
+                           text_col=text_col, out_col=out_col,
+                           batch_size=batch_size)
+
+    return _s
+
+
 @register_stage("shuffle")
 def _shuffle(id_col: str = "doc_id", seed: int = 17) -> Stage:
     """Deterministic global shuffle (md5 hash-sort) — the training-data

@@ -312,6 +312,65 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
                                                 batch_format="pandas")
 
 
+class TextEmbedder:
+    """In-pipeline text-embedding ACTOR stage — the embedder seam the
+    reference fills with SPECTER (/root/reference/s2and/data.py:703-725)
+    and the north-star fills with an SBERT GPU pool.  No model weights
+    exist in this env, so the kernel is a DETERMINISTIC public stand-in
+    (hashed sublinear-TF features → seeded Gaussian random projection,
+    L2-normalized — the hashing-trick + Johnson-Lindenstrauss classics);
+    a real encoder drops into ``__call__`` with the same schema and the
+    same actor-pool shape.  The projection matrix builds ONCE per actor
+    in ``__init__`` (the load-once-per-worker model pattern)."""
+
+    def __init__(self, dim: int = 64, vocab_dim: int = 4096, seed: int = 13,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "embedding", normalized: bool = False):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((vocab_dim, dim)) / np.sqrt(dim)
+        self.dim = dim
+        self.vocab_dim = vocab_dim
+        self.text_col = text_col
+        self.id_col = id_col
+        self.out_col = out_col
+        self.normalized = normalized
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        from ..functions.textnorm import normalize_text_array
+
+        if self.normalized:
+            norm = t.column(self.text_col).to_pylist()
+        else:
+            norm = normalize_text_array(t.column(self.text_col)).to_pylist()
+        mat = hashed_tf_matrix([s or "" for s in norm], self.vocab_dim)
+        e = mat @ self.proj
+        nrm = np.linalg.norm(e, axis=1)
+        nrm[nrm == 0] = 1.0
+        e = e / nrm[:, None]
+        n = len(norm)
+        offsets = pa.array((np.arange(n + 1, dtype=np.int64)
+                            * self.dim).astype(np.int32))
+        values = pa.array(e.reshape(-1), pa.float64())
+        return t.append_column(self.out_col,
+                               pa.ListArray.from_arrays(offsets, values))
+
+
+def embed_texts(ds: ray.data.Dataset, dim: int = 64, vocab_dim: int = 4096,
+                seed: int = 13, text_col: str = "text",
+                out_col: str = "embedding", concurrency=(1, 8),
+                batch_size: int = 1024) -> ray.data.Dataset:
+    """Compute an embedding column in-pipeline via the :class:`TextEmbedder`
+    actor pool (GPU-encoder-shaped: bounded batch, per-actor model state)."""
+    return ds.map_batches(
+        TextEmbedder,
+        fn_constructor_kwargs=dict(dim=dim, vocab_dim=vocab_dim, seed=seed,
+                                   text_col=text_col, out_col=out_col),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
 def hashed_tf_matrix(norm_texts: "list[str]", dim: int,
                      sublinear: bool = True) -> np.ndarray:
     """Vectorized hashing-trick feature matrix over NORMALIZED texts —

@@ -15,15 +15,25 @@ import numpy as np
 
 
 class LogisticScorer:
-    """Deterministic L2 logistic regression on the pair-feature matrix."""
+    """Deterministic L2 logistic regression on the pair-feature matrix.
+
+    ``monotone``: per-feature sign constraints (+1 non-decreasing, -1
+    non-increasing, 0 free) — the exact linear-model analog of the
+    reference's LightGBM ``monotone_constraints``
+    (/root/reference/s2and/model.py:744-876): for a linear decision
+    function, monotone in feature i ⟺ sign(w_i) pinned, enforced by
+    projected gradient descent (projection of a convex problem → the
+    constrained optimum).  A scalar broadcasts to all features."""
 
     def __init__(self, l2: float = 1e-3, lr: float = 0.5, n_iter: int = 300,
-                 nan_fill: float = 0.0, seed: int = 17):
+                 nan_fill: float = 0.0, seed: int = 17,
+                 monotone: "np.ndarray | list | int | None" = None):
         self.l2 = l2
         self.lr = lr
         self.n_iter = n_iter
         self.nan_fill = nan_fill
         self.seed = seed
+        self.monotone = monotone
         self.w: np.ndarray | None = None
         self.b: float = 0.0
 
@@ -40,6 +50,11 @@ class LogisticScorer:
         sd = X.std(axis=0)
         sd[sd == 0] = 1.0
         Xs = (X - mu) / sd
+        # sd > 0, so sign(w_orig) = sign(w_std): project in standard space
+        mono = None
+        if self.monotone is not None:
+            mono = np.broadcast_to(
+                np.asarray(self.monotone, np.float64), (d,)).copy()
         w = np.zeros(d)
         b = 0.0
         for _ in range(self.n_iter):
@@ -50,6 +65,9 @@ class LogisticScorer:
             gb = g.sum()
             w -= self.lr * gw
             b -= self.lr * gb
+            if mono is not None:
+                w = np.where(mono > 0, np.maximum(w, 0.0),
+                             np.where(mono < 0, np.minimum(w, 0.0), w))
         self.w = w / sd
         self.b = float(b - (w * mu / sd).sum())
         return self

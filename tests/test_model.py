@@ -112,3 +112,33 @@ def test_tune_threshold_ratio_objective():
     best_row = trials.loc[trials["threshold"] == th]
     assert np.isclose(best_row["merge_ratio"].iloc[0], 1.0)
     assert np.isclose(best_row["b3_f1"].iloc[0], 1.0)
+
+
+def test_logistic_monotone_constraints():
+    """monotone=+1 (the LightGBM monotone_constraints analog): all original-
+    space weights non-negative, fit quality preserved when the true signal
+    is monotone, and the decision function non-decreasing per feature."""
+    import numpy as np
+
+    from ent_res_feedback_ray.state.model import LogisticScorer, auroc
+
+    rng = np.random.default_rng(4)
+    n = 600
+    # true model: y depends positively on f0, f1; f2 is pure noise that an
+    # unconstrained fit may weight negatively
+    X = rng.random((n, 3))
+    z = 3.0 * X[:, 0] + 2.0 * X[:, 1] - 2.5
+    y = (z + 0.3 * rng.standard_normal(n) > 0).astype(float)
+
+    m = LogisticScorer(monotone=1, n_iter=400).fit(X, y)
+    assert (m.w >= 0).all()
+    assert auroc(y, m.predict_proba(X)) > 0.9
+    # monotone: increasing any single feature never lowers the score
+    probe = rng.random((50, 3))
+    bumped = probe.copy()
+    bumped[:, 2] += 0.5
+    assert (m.decision(bumped) >= m.decision(probe) - 1e-12).all()
+
+    # mixed spec: f2 constrained non-increasing gets w2 <= 0, free fit may not
+    m2 = LogisticScorer(monotone=[1, 1, -1], n_iter=400).fit(X, y)
+    assert m2.w[0] >= 0 and m2.w[1] >= 0 and m2.w[2] <= 0

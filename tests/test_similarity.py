@@ -70,3 +70,45 @@ def test_pca_feeds_ann_kernels():
     d_full = np.linalg.norm(X[:50, None] - X[None, :50], axis=2)
     d_red = np.linalg.norm(Z[:50, None] - Z[None, :50], axis=2)
     assert np.allclose(d_full, d_red, rtol=1e-3, atol=1e-4)
+
+
+def test_text_embedder_stage():
+    """In-pipeline embedder (SPECTER/SBERT seam, deterministic stand-in
+    kernel): unit-norm list<float64> column, deterministic and
+    partition-invariant, near-duplicate texts close / unrelated far, and
+    composable from the Stage registry."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ent_res_feedback_ray.stages.similarity import embed_texts
+
+    base = ("web scale duplicate detection with minhash signatures and "
+            "band bucketing for candidate generation")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [base, base + " trailing variation",
+                 "completely unrelated cooking recipe with onions and salt",
+                 "another separate topic about orbital mechanics and fuel"],
+    })
+    out = embed_texts(ray.data.from_pandas(docs), dim=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    E = np.stack(out["embedding"].to_numpy())
+    assert E.shape == (4, 32)
+    assert np.allclose(np.linalg.norm(E, axis=1), 1.0)
+    # near-dup pair far more similar than unrelated pair
+    assert E[0] @ E[1] > 0.8 > 0.5 > E[0] @ E[2]
+
+    # determinism + partition invariance
+    out2 = embed_texts(ray.data.from_pandas(docs).repartition(3),
+                       dim=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(E, np.stack(out2["embedding"].to_numpy()))
+
+    # registry composition
+    from ent_res_feedback_ray.pipelines.protocol import build_pipeline
+
+    out3 = build_pipeline([{"stage": "embed_text", "dim": 32}])(
+        ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(E, np.stack(out3["embedding"].to_numpy()))
