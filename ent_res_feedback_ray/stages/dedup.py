@@ -95,22 +95,86 @@ def _jaccard_verify_batch(b: pa.Table, threshold: float) -> pa.Table:
     })
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        n_tiles: int = 8) -> ray.data.Dataset:
     """All-pairs word-3-gram Jaccard ≥ threshold → (id1, id2, jaccard).
 
     BRUTE FORCE by design: this is the exactness oracle the LSH path is
-    verified against.  O(n²) — small inputs only; the scale path is
-    ``minhash_lsh_pairs`` below, which returns the same pair set whp."""
+    verified against.  O(n²) total work — small inputs only; the scale
+    path is ``minhash_lsh_pairs`` below, which returns the same pair set
+    whp.  The triangle is TILED (round-4 verdict polish): each doc lands
+    in tile t = hash(id) % T and replicates to the T tile-pair blocks
+    containing t, so pair generation runs T(T+1)/2 ways parallel instead
+    of serializing in one task (replication factor T, unordered pair
+    coverage exactly once via the (min,max) tile-pair key)."""
     ds = _norm_docs(sf_dir)
+    from ..functions.hashing import splitmix64
+    from .shuffleops import bucketed_group_apply
 
-    def _const(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(all_key="all")
+    T = int(n_tiles)
 
-    pairs = pairs_from_blocks(
-        ds.map_batches(_const, batch_format="pandas"),
-        block_col="all_key", id_col="doc_id", carry_cols=["norm_text"],
-        max_pairs_per_block=50_000_000,
-    )
+    def _tile_explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        t = (splitmix64(ids.view(np.uint64)) % np.uint64(T)).astype(np.int64)
+        n = len(ids)
+        rep_t = np.repeat(t, T)
+        rep_u = np.tile(np.arange(T, dtype=np.int64), n)
+        lo = np.minimum(rep_t, rep_u)
+        hi = np.maximum(rep_t, rep_u)
+        return pd.DataFrame({
+            "tile_key": lo * T + hi,
+            "own": rep_t,
+            "doc_id": np.repeat(ids, T),
+            "norm_text": np.repeat(df["norm_text"].to_numpy(object), T),
+        })
+
+    def _tile_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in part.groupby("tile_key", sort=True):
+            a, b = divmod(int(key), T)
+            g = g.sort_values("doc_id", kind="mergesort")
+            if a == b:
+                sub = g[g["own"] == a]
+                m = len(sub)
+                if m < 2:
+                    continue
+                i, j = np.triu_indices(m, k=1)
+            else:
+                ga = g[g["own"] == a].reset_index(drop=True)
+                gb = g[g["own"] == b].reset_index(drop=True)
+                if not len(ga) or not len(gb):
+                    continue
+                i = np.repeat(np.arange(len(ga)), len(gb))
+                j = np.tile(np.arange(len(gb)), len(ga))
+                sub = None
+            if a == b:
+                id1 = sub["doc_id"].to_numpy(np.int64)[i]
+                id2 = sub["doc_id"].to_numpy(np.int64)[j]
+                t1 = sub["norm_text"].to_numpy(object)[i]
+                t2 = sub["norm_text"].to_numpy(object)[j]
+            else:
+                id1 = ga["doc_id"].to_numpy(np.int64)[i]
+                id2 = gb["doc_id"].to_numpy(np.int64)[j]
+                t1 = ga["norm_text"].to_numpy(object)[i]
+                t2 = gb["norm_text"].to_numpy(object)[j]
+                swap = id1 > id2
+                id1, id2 = np.where(swap, id2, id1), np.where(swap, id1, id2)
+                t1c = t1.copy()
+                t1 = np.where(swap, t2, t1)
+                t2 = np.where(swap, t1c, t2)
+            outs.append(pd.DataFrame({"id1": id1, "id2": id2,
+                                      "norm_text1": t1, "norm_text2": t2}))
+        if not outs:
+            return pd.DataFrame({"id1": np.empty(0, np.int64),
+                                 "id2": np.empty(0, np.int64),
+                                 "norm_text1": np.empty(0, object),
+                                 "norm_text2": np.empty(0, object)})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_group_apply(
+        ds.select_columns(["doc_id", "norm_text"]).map_batches(
+            _tile_explode, batch_format="pandas"),
+        "tile_key", _tile_pairs, num_buckets=T * (T + 1) // 2)
 
     return pairs.map_batches(
         lambda b: _jaccard_verify_batch(b, threshold), batch_format="pyarrow")
