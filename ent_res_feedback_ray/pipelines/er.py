@@ -1714,6 +1714,25 @@ def _fit_trained_scorer(sf_dir: str, max_train_pairs: int = 50_000,
                       >= GOLD_JACCARD).astype(np.float64)
     train = balanced_sample(train, "label", max_train_pairs // 2,
                             key_cols=["id1", "id2"], seed=29)
+    if scorer == "tpe":
+        # the reference's full PairwiseModeler.fit loop
+        # (/root/reference/s2and/model.py:819-871): hyperopt-TPE minimizes
+        # −AUROC on a held-out val split, winner refit on train only — here
+        # the deterministic TPE with Ray-parallel trial batches
+        # (state/tpe.py) over a seeded hash split of the bounded sample
+        from ..functions.hashing import splitmix64
+        from ..state.tpe import tune_pairwise_model
+
+        h = splitmix64(train["id1"].to_numpy(np.uint64)
+                       ^ (train["id2"].to_numpy(np.uint64) << np.uint64(1)),
+                       seed=31)
+        is_val = (h % np.uint64(5)) == 0  # 20% val
+        X = train[FEATURE_COLS].to_numpy(np.float64)
+        y = train["label"].to_numpy(np.float64)
+        model, _ = tune_pairwise_model(X[~is_val], y[~is_val],
+                                       X[is_val], y[is_val],
+                                       n_iter=12, batch=4, seed=17)
+        return feats, model, train
     cls = {"mlp": MLPScorer, "neumiss": NeuMissScorer}.get(
         scorer, LogisticScorer)
     model = cls(seed=17).fit(

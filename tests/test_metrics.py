@@ -110,17 +110,19 @@ def test_min_pair_edit_golden():
     assert n_mistaken >= 1
 
 
-def test_facet_eval_nine_facets(sf_dir):
+def test_facet_eval_fifteen_facets(sf_dir):
     """facet_eval covers the reference's facet families (year/author-count/
     block-size/cluster-size analogs + the namesake homonymity/synonymity
-    within-block fractions, /root/reference/s2and/eval.py:196-427)."""
+    within-block fractions, plus the round-5 additions: first-letter,
+    name-length, host-depth, url-scheme, path-depth, tld
+    — /root/reference/s2and/eval.py:196-427)."""
     import numpy as np
 
     from ent_res_feedback_ray.pipelines.er import FACET_COLS, facet_eval
 
     out = facet_eval(sf_dir)
     assert set(out["facet"]) == set(FACET_COLS)
-    assert len(FACET_COLS) == 9
+    assert len(FACET_COLS) == 15
     # per-facet metric rows are finite and within [0, 1]
     for c in ("b3_precision", "b3_recall", "b3_f1"):
         v = out[c].to_numpy(dtype=float)
