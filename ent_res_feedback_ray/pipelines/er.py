@@ -1733,8 +1733,25 @@ def _fit_trained_scorer(sf_dir: str, max_train_pairs: int = 50_000,
                                        X[is_val], y[is_val],
                                        n_iter=12, batch=4, seed=17)
         return feats, model, train
-    cls = {"mlp": MLPScorer, "neumiss": NeuMissScorer}.get(
-        scorer, LogisticScorer)
+    if scorer == "gbdt_tpe":
+        # the LightGBM+hyperopt analog end-to-end (state/gbdt.py): TPE over
+        # the reference's LGBM space, winner refit on train only
+        from ..functions.hashing import splitmix64
+        from ..state.gbdt import tune_pairwise_gbdt
+
+        h = splitmix64(train["id1"].to_numpy(np.uint64)
+                       ^ (train["id2"].to_numpy(np.uint64) << np.uint64(1)),
+                       seed=31)
+        is_val = (h % np.uint64(5)) == 0
+        X = train[FEATURE_COLS].to_numpy(np.float64)
+        y = train["label"].to_numpy(np.float64)
+        model, _ = tune_pairwise_gbdt(X[~is_val], y[~is_val],
+                                      X[is_val], y[is_val],
+                                      n_iter=8, batch=4, seed=17)
+        return feats, model, train
+    from ..state.gbdt import GBDTScorer
+    cls = {"mlp": MLPScorer, "neumiss": NeuMissScorer,
+           "gbdt": GBDTScorer}.get(scorer, LogisticScorer)
     model = cls(seed=17).fit(
         train[FEATURE_COLS].to_numpy(np.float64),
         train["label"].to_numpy(np.float64))
