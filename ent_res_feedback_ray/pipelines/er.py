@@ -878,7 +878,7 @@ def resolve_pages(
     num_bands: int = 16,
     scorer_concurrency=(1, 4),
     dedup: bool = False,
-    broadcast_doc_limit: int = 2_000_000,
+    broadcast_doc_limit: int | None = None,
     keep_features: bool = True,
     with_df: bool = False,
 ) -> dict:
@@ -1026,7 +1026,33 @@ def resolve_pages(
         _tick("token_df")
     n_docs = norm.count()
     _tick("count")
-    if n_docs <= broadcast_doc_limit:
+    # Path choice is BYTES-aware, not a row-count constant: the fast path's
+    # side table is RANGE-SHARDED signatures in plasma (shards ≈ cluster
+    # CPUs, built task-side — stages/fastfeatures.py), so the real
+    # constraint is that one node's object store can hold the table once
+    # (on a multi-node cluster every node reading all shards caches them,
+    # the standard broadcast-join bound; per-node store = total/nodes).
+    # Signature bytes = 3.0× normalized text bytes, measured at 640k docs
+    # (norm 0.335 GB → sig 1.004 GB: three int64 hash CSRs — tokens,
+    # shingles, char-trigrams — plus fixed-width prefix/ftok matrices).
+    # A hard-coded 2M-doc limit sent the factor-1024 probe (5.12M docs)
+    # down the cogroup path, whose ~20-operator fused DAG saturated the
+    # streaming executor's per-step resource accounting on one driver
+    # core (measured: workers idle, driver 100% in
+    # resource_manager.update_usages) — while the sharded-signature path
+    # holds that corpus (~8 GB of signatures) in a 24 GiB store with room
+    # to spare.  Keep 60% of the store for the pair stream + shuffles.
+    if broadcast_doc_limit is None:
+        env_lim = _os.environ.get("GRAFT_BROADCAST_DOC_LIMIT")
+        if env_lim is not None:
+            use_fast = n_docs <= int(env_lim)
+        else:
+            store_b = float(_ray.cluster_resources().get(
+                "object_store_memory", 4 << 30))
+            use_fast = 3.0 * float(norm.size_bytes()) <= 0.4 * store_b
+    else:
+        use_fast = n_docs <= broadcast_doc_limit
+    if use_fast:
         # HOT PATH: featurize against broadcast doc signatures (sorted hash
         # arrays, zero-copy plasma views) — the pair stream stays integer-
         # only; no Python strings, minimal memory bandwidth (the thing that
@@ -1059,6 +1085,11 @@ def resolve_pages(
 
         attr_cols = [c for c in ("norm_text", "lang", "warc_ts")
                      if c in norm.schema().names]
+        # barrier: the id-only pair stream is cheap in plasma; fusing the
+        # whole blocking shuffle into attach's first cogroup execution is
+        # what blew the executor's per-step operator accounting (see
+        # attach_attrs) — split it off before the join
+        pairs = pairs.materialize()
         wide = attach_attrs(
             pairs, norm.select_columns(["doc_id", *attr_cols]),
             id_col="doc_id", attr_cols=attr_cols)

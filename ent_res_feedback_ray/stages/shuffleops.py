@@ -475,7 +475,15 @@ def attach_attrs(
         pair_cols1 = list(psch.names)
         ph1 = {c: _placeholder_for(t)
                for c, t in zip(psch.names, psch.types)}
-    side1 = _join_side(pairs, "1", pair_cols1, ph1)
+    # materialize between the two joins: fused, the pair lineage + two
+    # tagged unions + two repartition/sort exchanges execute as ONE ~20-
+    # operator DAG, and the streaming executor's per-step resource
+    # accounting (update_usages iterates operators × buffered bundles)
+    # saturates a driver core at multi-million-row scale (measured at the
+    # factor-512 probe: workers idle, driver 100% in resource_manager).
+    # The barrier splits it into two bounded executions; side1 is narrow
+    # (pair ids + side-1 attrs) and spills cleanly if needed.
+    side1 = _join_side(pairs, "1", pair_cols1, ph1).materialize()
     pair_cols2 = pair_cols1 + [f"{c}1" for c in attr_cols
                                if f"{c}1" not in pair_cols1]
     ph2 = {**ph1, **{f"{c}1": attr_canon_ph[c] for c in attr_cols}}
